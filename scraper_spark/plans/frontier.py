@@ -1,0 +1,516 @@
+"""Distributed URL-frontier + fetch scheduler — the engine core.
+
+Replaces the reference's sequential nested crawl loops (reference:
+handlers/scrapers.py:84-150; per-item sleeps handlers/haozu.py:41;
+checkpoint anti-join handlers/db.py:191-203) with a round-synchronous
+Spark dataflow (SURVEY §3.1 "Spark lifecycle"):
+
+    seeds → canonicalize → round { schedule → fetch → log →
+        seen-update → parse/explode links → dedup → payload decode →
+        checkpoint }
+
+Each arrow is Catalyst-planned; per round there is exactly ONE
+scheduling shuffle (the per-host window, two-phase/salted so no window
+partition exceeds ``salt × budget`` rows even on 10^8-URL hot hosts)
+and ONE dedup join (Bloom-prefiltered exact left_anti). Fetch, parse,
+and image decode run inside Arrow-batched pandas stages with no
+shuffle.
+
+Determinism: the crawl log carries a global ``seq`` assigned by sorting
+on the spec's total order and enumerating with ``zipWithIndex`` (two
+passes, no single-partition shuffle). No wall clock or randomness
+touches any order-observable value; round wall-times go only to the
+metrics table.
+
+Scale notes (10^10 frontier): frontier/url_seen live bucket-partitioned
+by host_bucket / url-hash in Iceberg (here: the TableIO seam, which
+rewrites whole snapshots — the Iceberg swap turns that into dynamic
+partition overwrite, no engine change). The Bloom broadcast is 8 MB at
+this sizing and grows by raising N_SEGMENTS; beyond broadcastable size
+the probe becomes a seg-keyed shuffle join with identical semantics.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+from pyspark.sql import types as T
+
+from scraper_spark.functions.canon import canonicalize_udf, host_udf
+from scraper_spark.functions.hashes import bucket_col
+from scraper_spark.functions.imagecodec import decode_image, phash64
+from scraper_spark.plans import seen as bloom
+from scraper_spark.plans.spec import (
+    N_HOST_BUCKETS,
+    STATUS_MISSING,
+    STATUS_OK,
+    STATUS_TRANSIENT,
+    PolitenessConfig,
+)
+from scraper_spark.sources.page_store import fetch
+from scraper_spark.sources.tableio import TableIO
+
+FRONTIER_SCHEMA = T.StructType(
+    [
+        T.StructField("canon_url", T.StringType(), False),
+        T.StructField("host", T.StringType(), True),
+        T.StructField("host_bucket", T.IntegerType(), True),
+        T.StructField("depth", T.IntegerType(), True),
+        T.StructField("discovery_time", T.IntegerType(), True),
+        T.StructField("attempt", T.IntegerType(), True),
+    ]
+)
+
+LOG_SCHEMA = T.StructType(
+    [
+        T.StructField("seq", T.LongType(), False),
+        T.StructField("round", T.IntegerType(), False),
+        T.StructField("canon_url", T.StringType(), False),
+        T.StructField("host", T.StringType(), True),
+        T.StructField("host_bucket", T.IntegerType(), True),
+        T.StructField("depth", T.IntegerType(), True),
+        T.StructField("discovery_time", T.IntegerType(), True),
+        T.StructField("status", T.IntegerType(), True),
+    ]
+)
+
+SEEN_SCHEMA = T.StructType([T.StructField("canon_url", T.StringType(), False)])
+
+IMAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("bytes", T.BinaryType(), True),
+        T.StructField("w", T.IntegerType(), True),
+        T.StructField("h", T.IntegerType(), True),
+        T.StructField("fmt", T.StringType(), True),
+        T.StructField("caption", T.StringType(), True),
+        T.StructField("phash", T.LongType(), True),
+        T.StructField("canon_url", T.StringType(), True),
+        T.StructField("round", T.IntegerType(), True),
+    ]
+)
+
+SCHEDULE_SALTS = 32  # phase-1 fan-out of the per-host top-k
+
+
+def with_global_seq(
+    df: DataFrame, bucket_col_name: str, order_cols: list[str], offset: int
+) -> DataFrame:
+    """Total-order global ``seq`` without a single-partition window:
+    row_number within each ``bucket`` partition + driver-side cumsum of
+    per-bucket counts (≤ N_HOST_BUCKETS rows collected), broadcast back.
+    Stays entirely JVM-side — no RDD round-trip, no global sort."""
+    spark = df.sparkSession
+    counts = sorted(
+        (r[0], r[1])
+        for r in df.groupBy(bucket_col_name).agg(F.count("*")).collect()
+    )
+    offsets, acc = [], offset
+    for b, n in counts:
+        offsets.append((b, acc))
+        acc += n
+    if not offsets:
+        return df.withColumn("seq", F.lit(0).cast("long")).limit(0)
+    off_df = spark.createDataFrame(offsets, f"{bucket_col_name} int, _off long")
+    w = W.partitionBy(bucket_col_name).orderBy(*order_cols)
+    return (
+        df.join(F.broadcast(off_df), bucket_col_name)
+        .withColumn("seq", (F.col("_off") + F.row_number().over(w) - 1).cast("long"))
+        .drop("_off")
+    )
+
+
+class CrawlEngine:
+    """Round-synchronous distributed crawler over a fixture dir."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        fixture_dir: str,
+        work_dir: str,
+        use_bloom: bool = True,
+        decode_images: bool = True,
+    ):
+        self.spark = spark
+        self.fixture_dir = fixture_dir
+        self.work_dir = work_dir
+        self.use_bloom = use_bloom
+        self.decode_images = decode_images
+        self.pol = PolitenessConfig.load(os.path.join(fixture_dir, "politeness.json"))
+        self.store_path = os.path.join(fixture_dir, "page_store.parquet")
+        self.images_path = os.path.join(fixture_dir, "image_captions.parquet")
+
+        self.t_frontier = TableIO(os.path.join(work_dir, "frontier"))
+        self.t_log = TableIO(os.path.join(work_dir, "crawl_log"))
+        self.t_seen = TableIO(os.path.join(work_dir, "url_seen"))
+        self.t_errors = TableIO(os.path.join(work_dir, "fetch_errors"))
+        self.t_images = TableIO(os.path.join(work_dir, "images"))
+        self._tables = {
+            "frontier": self.t_frontier,
+            "crawl_log": self.t_log,
+            "url_seen": self.t_seen,
+            "fetch_errors": self.t_errors,
+            "images": self.t_images,
+        }
+
+        # politeness + robots dims (tiny → broadcast joins)
+        tokens_rows = [(h, int(t)) for h, t in self.pol.host_tokens.items()]
+        self.tokens_df = spark.createDataFrame(
+            tokens_rows or [("__none__", 0)], "host string, tokens int"
+        )
+        robots_rows = [
+            (h, p) for h, ps in self.pol.robots_disallow.items() for p in ps
+        ]
+        self.robots_df = spark.createDataFrame(
+            robots_rows or [("__none__", "\x00")], "host string, prefix string"
+        )
+
+        self._bloom_segments: dict[int, np.ndarray] = {}
+        self._bloom_bc = None
+        self._round_persists: list[DataFrame] = []
+
+    # ------------------------------------------------------------- state
+    def _state_path(self) -> str:
+        return os.path.join(self.work_dir, "state.json")
+
+    def _bloom_path(self) -> str:
+        return os.path.join(self.work_dir, "bloom.npz")
+
+    def _save_bloom(self) -> None:
+        """Persist Bloom segments as an npz sidecar (atomic replace) —
+        driver-held state, checkpointed before state.json commits."""
+        tmp = self._bloom_path() + f".tmp-{uuid.uuid4().hex}.npz"
+        np.savez_compressed(
+            tmp, **{str(k): v for k, v in self._bloom_segments.items()}
+        )
+        os.replace(tmp, self._bloom_path())
+
+    def _load_bloom(self) -> None:
+        self._bloom_segments = {}
+        if os.path.exists(self._bloom_path()):
+            with np.load(self._bloom_path()) as z:
+                self._bloom_segments = {int(k): z[k].copy() for k in z.files}
+
+    def _commit_state(self, next_round: int, seq: int) -> None:
+        state = {
+            "round": next_round,
+            "seq": seq,
+            "snapshots": {
+                name: t.current_snapshot_id() for name, t in self._tables.items()
+            },
+        }
+        os.makedirs(self.work_dir, exist_ok=True)
+        tmp = self._state_path() + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(state, f, indent=1, sort_keys=True)
+        os.replace(tmp, self._state_path())
+
+    def _load_state(self) -> dict | None:
+        try:
+            with open(self._state_path()) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return None
+
+    # ------------------------------------------------------------- init
+    def _init_frontier(self) -> None:
+        seeds = self.spark.read.parquet(os.path.join(self.fixture_dir, "seeds.parquet"))
+        frontier = (
+            seeds.select(canonicalize_udf("url").alias("canon_url"))
+            .dropDuplicates(["canon_url"])
+            .withColumn("host", host_udf("canon_url"))
+            .withColumn(
+                "host_bucket", bucket_col(F.col("host"), N_HOST_BUCKETS).cast("int")
+            )
+            .withColumn("depth", F.lit(0))
+            .withColumn("discovery_time", F.lit(0))
+            .withColumn("attempt", F.lit(0))
+        )
+        self.t_frontier.overwrite(frontier)
+        self._commit_state(0, 0)
+
+    def _resume(self) -> tuple[int, int]:
+        """Roll every table back to the last committed round boundary;
+        rebuild the Bloom broadcast. Returns (next_round, seq_offset)."""
+        state = self._load_state()
+        if state is None:
+            self._init_frontier()
+            state = self._load_state()
+        for name, sid in state["snapshots"].items():
+            t = self._tables.get(name)
+            if t is None:
+                continue
+            cur = t.current_snapshot_id()
+            if sid is None:
+                if cur is not None:
+                    t.rollback(0)
+            elif cur is not None and cur > sid:
+                t.rollback(sid)
+        if self.use_bloom:
+            self._load_bloom()
+        self._refresh_bloom_bc()
+        return state["round"], state["seq"]
+
+    def _refresh_bloom_bc(self) -> None:
+        if self._bloom_bc is not None:
+            self._bloom_bc.destroy()
+        self._bloom_bc = self.spark.sparkContext.broadcast(self._bloom_segments)
+
+    # ------------------------------------------------------------ stages
+    def _schedule(self, frontier: DataFrame) -> DataFrame:
+        """Robots filter + per-host budgeted top-k (two-phase, salted)."""
+        pq = F.regexp_replace("canon_url", r"^[a-z][a-z0-9+.\-]*://[^/]*", "")
+        cand = frontier.withColumn("_pq", pq)
+        blocked = (
+            cand.join(F.broadcast(self.robots_df), "host")
+            .where(F.col("_pq").startswith(F.col("prefix")))
+            .select("canon_url")
+            .distinct()
+        )
+        cand = cand.join(F.broadcast(blocked), "canon_url", "left_anti").drop("_pq")
+        cand = cand.join(F.broadcast(self.tokens_df), "host", "left").withColumn(
+            "tokens", F.coalesce("tokens", F.lit(self.pol.default_tokens))
+        )
+        order = [F.col("depth"), F.col("discovery_time"), F.col("canon_url")]
+        # phase 1: top-k inside (host, salt) — bounds every window partition
+        salt = F.pmod(F.xxhash64("canon_url"), F.lit(SCHEDULE_SALTS))
+        w1 = W.partitionBy("host", salt).orderBy(*order)
+        pre = cand.withColumn("_r", F.row_number().over(w1)).where(
+            F.col("_r") <= F.col("tokens")
+        )
+        # phase 2: exact top-k per host over the ≤ salts×tokens survivors
+        w2 = W.partitionBy("host").orderBy(*order)
+        return (
+            pre.withColumn("_r", F.row_number().over(w2))
+            .where(F.col("_r") <= F.col("tokens"))
+            .drop("_r", "tokens")
+        )
+
+    def _images_stage(self, fetched: DataFrame, rnd: int) -> DataFrame:
+        """Payload pipeline: fetched detail rows → image bytes → decode →
+        phash/dims, Arrow-batched (SURVEY §2.10 I4/I6)."""
+        with_img = fetched.where(
+            (F.col("status") == STATUS_OK) & F.col("image_id").isNotNull()
+        ).select("canon_url", "image_id", "caption")
+        store = self.spark.read.parquet(self.images_path).select(
+            "image_id", "bytes", "fmt"
+        )
+        joined = with_img.join(store, "image_id", "left")
+
+        def decode(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                ws, hs, ph = [], [], []
+                for b in pdf["bytes"]:
+                    if b is None:
+                        ws.append(None), hs.append(None), ph.append(None)
+                        continue
+                    img = decode_image(bytes(b))
+                    hh, ww = img.shape[:2]
+                    ws.append(ww)
+                    hs.append(hh)
+                    ph.append(phash64(img))
+                yield pd.DataFrame(
+                    {
+                        "image_id": pdf["image_id"],
+                        "bytes": pdf["bytes"],
+                        "w": pd.array(ws, dtype="Int32"),
+                        "h": pd.array(hs, dtype="Int32"),
+                        "fmt": pdf["fmt"],
+                        "caption": pdf["caption"],
+                        "phash": pd.array(ph, dtype="Int64"),
+                        "canon_url": pdf["canon_url"],
+                        "round": np.full(len(pdf), rnd, dtype=np.int32),
+                    }
+                )
+
+        return joined.mapInPandas(decode, IMAGES_SCHEMA)
+
+    def _dedup_links(self, links: DataFrame, known: DataFrame) -> DataFrame:
+        """links − known-frontier − url_seen (Bloom prefilter on the big
+        anti-join; exactness always from the left_anti)."""
+        fresh = links.join(known.select("canon_url"), "canon_url", "left_anti")
+        seen_tbl = self.t_seen.read(self.spark, schema=SEEN_SCHEMA)
+        if not self.use_bloom:
+            return fresh.join(seen_tbl, "canon_url", "left_anti")
+        bc = self._bloom_bc
+
+        def mark(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                maybe = bloom.probe(pdf["canon_url"], bc.value)
+                yield pdf.assign(_maybe=maybe)
+
+        schema = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in fresh.schema.fields
+        )
+        marked = fresh.mapInPandas(mark, schema + ", _maybe boolean").persist()
+        self._round_persists.append(marked)
+        definite = marked.where(~F.col("_maybe")).drop("_maybe")
+        maybe = (
+            marked.where(F.col("_maybe"))
+            .drop("_maybe")
+            .join(seen_tbl, "canon_url", "left_anti")
+        )
+        return definite.unionByName(maybe)
+
+    # ------------------------------------------------------------- round
+    def run(self, max_rounds: int = 100_000) -> dict:
+        """Run (or resume) the crawl to frontier exhaustion. Returns
+        summary counters."""
+        start_round, seq = self._resume()
+        totals = {"rounds": 0, "fetched": 0, "log_rows": seq}
+        rnd = start_round
+        while rnd < start_round + max_rounds:
+            t0 = time.monotonic()
+            frontier = self.t_frontier.read(self.spark, schema=FRONTIER_SCHEMA)
+            scheduled = self._schedule(frontier)
+            fetched = fetch(scheduled, self.store_path).persist()
+            counts = {
+                r["status"]: r["n"]
+                for r in fetched.groupBy("status").agg(F.count("*").alias("n")).collect()
+            }
+            n_sched = sum(counts.values())
+            if n_sched == 0:
+                fetched.unpersist()
+                break
+
+            # ---- crawl log (total order + global seq) ------------------
+            log = with_global_seq(
+                fetched.select(
+                    F.lit(rnd).cast("int").alias("round"),
+                    "canon_url",
+                    "host",
+                    "host_bucket",
+                    "depth",
+                    "discovery_time",
+                    F.col("status").cast("int"),
+                ),
+                "host_bucket",
+                ["depth", "discovery_time", "canon_url"],
+                seq,
+            ).select([f.name for f in LOG_SCHEMA.fields])
+            self.t_log.append(log)
+            seq += n_sched
+
+            # ---- seen/error bookkeeping -------------------------------
+            is_transient = F.col("status") == STATUS_TRANSIENT
+            exhausted = F.col("attempt") + 1 >= self.pol.max_attempts
+            seen_delta = (
+                fetched.where(~is_transient | exhausted)
+                .select("canon_url")
+                .dropDuplicates(["canon_url"])
+            )
+            self.t_seen.append(seen_delta)
+            if counts.get(STATUS_TRANSIENT, 0) > 0:
+                errors = fetched.where(is_transient & exhausted).select(
+                    "canon_url", F.lit(rnd).cast("int").alias("round")
+                )
+                self.t_errors.append(errors)
+            if self.use_bloom:
+                # distributed bit-build on the delta; ≤ N_SEGMENTS rows home
+                delta = bloom.merge_segment_frames(
+                    [bloom.build_segments(seen_delta).toPandas()]
+                )
+                for seg, bits in delta.items():
+                    if seg in self._bloom_segments:
+                        self._bloom_segments[seg] = self._bloom_segments[seg] | bits
+                    else:
+                        self._bloom_segments[seg] = bits
+                self._save_bloom()
+                self._refresh_bloom_bc()
+
+            # ---- payload: images --------------------------------------
+            if self.decode_images and counts.get(STATUS_OK, 0) > 0:
+                self.t_images.append(self._images_stage(fetched, rnd))
+
+            # ---- frontier update: remove scheduled, retry transients --
+            retry = (
+                fetched.where(is_transient & ~exhausted)
+                .select(
+                    "canon_url",
+                    "host",
+                    "host_bucket",
+                    "depth",
+                    "discovery_time",
+                    (F.col("attempt") + 1).alias("attempt"),
+                )
+            )
+            remaining = frontier.join(
+                fetched.select("canon_url"), "canon_url", "left_anti"
+            )
+            known = remaining.select("canon_url").unionByName(
+                retry.select("canon_url")
+            )
+
+            # ---- parse/explode new links ------------------------------
+            links = (
+                fetched.where((F.col("status") == STATUS_OK) & F.col("links").isNotNull())
+                .select("depth", F.explode("links").alias("link"))
+                .select(
+                    canonicalize_udf("link").alias("canon_url"),
+                    (F.col("depth") + 1).alias("depth"),
+                )
+                .groupBy("canon_url")
+                .agg(F.min("depth").cast("int").alias("depth"))
+            )
+            fresh = self._dedup_links(links, known)
+            fresh = (
+                fresh.withColumn("host", host_udf("canon_url"))
+                .withColumn(
+                    "host_bucket", bucket_col(F.col("host"), N_HOST_BUCKETS).cast("int")
+                )
+                .withColumn("discovery_time", F.lit(rnd + 1))
+                .withColumn("attempt", F.lit(0))
+                .select([f.name for f in FRONTIER_SCHEMA.fields])
+            )
+            new_frontier = (
+                remaining.select([f.name for f in FRONTIER_SCHEMA.fields])
+                .unionByName(retry.withColumn("attempt", F.col("attempt").cast("int")))
+                .unionByName(fresh)
+            )
+            self.t_frontier.overwrite(new_frontier)
+
+            # ---- metrics (driver-side lineage JSONL; timings are not
+            # order-observable, so the determinism ban doesn't apply) ----
+            wall = time.monotonic() - t0
+            with open(os.path.join(self.work_dir, "metrics.jsonl"), "a") as f:
+                f.write(
+                    json.dumps(
+                        {
+                            "round": rnd,
+                            "scheduled": n_sched,
+                            "ok": counts.get(STATUS_OK, 0),
+                            "missing": counts.get(STATUS_MISSING, 0),
+                            "transient": counts.get(STATUS_TRANSIENT, 0),
+                            "wall_ms": round(wall * 1000, 2),
+                            "seq_end": seq,
+                        }
+                    )
+                    + "\n"
+                )
+            fetched.unpersist()
+            for df_p in self._round_persists:
+                df_p.unpersist()
+            self._round_persists.clear()
+            # compact url_seen every 16 rounds — bounds small-file sprawl
+            # (Iceberg analog: rewrite_data_files maintenance)
+            if (rnd + 1) % 16 == 0:
+                self.t_seen.overwrite(
+                    self.t_seen.read(self.spark, schema=SEEN_SCHEMA)
+                )
+            self._commit_state(rnd + 1, seq)
+            totals["fetched"] += n_sched
+            totals["rounds"] += 1
+            rnd += 1
+        totals["log_rows"] = seq
+        return totals

@@ -1,0 +1,81 @@
+"""The shared crawl-semantics spec — single source of truth.
+
+Both the single-process oracle (plans/oracle.py) and the distributed
+Spark engine (plans/frontier.py) import these constants and pure
+functions, so their equivalence is by construction, not coincidence.
+
+Semantics distilled from the reference loop (SURVEY §2.11):
+
+- Round-synchronous BFS over the frontier — the reference's nested
+  entity → page → item loops (reference: handlers/scrapers.py:84-150)
+  become rounds; its insertion-order determinism (scrapers.py:103,
+  146-149) becomes the TOTAL ORDER below.
+- Politeness: per-host token budget per round (the reference throttles
+  with per-item sleeps, handlers/haozu.py:41 — budgets replace sleeps).
+- Robots: per-host disallowed path prefixes (north-rule addition; the
+  reference has none).
+- Retry: transient failures (HTTP 503) retry on later rounds up to
+  MAX_ATTEMPTS, mirroring the reference's retry-once-after-renewal
+  latch (handlers/scrapers.py:37-69) with a bounded budget.
+- First discovery wins: a URL's (depth, discovery_time) are fixed at
+  first enqueue (reference analog: first-seen dedup at the sink,
+  handlers/db.py:38-54). Conflicts inside one round resolve to
+  MIN(depth) — an order-free rule a distributed engine can reproduce.
+"""
+
+from __future__ import annotations
+
+from scraper_spark.functions.hashes import bucket
+
+# Total order of every order-observable output (crawl log):
+ORDER_KEYS = ("round", "host_bucket", "depth", "discovery_time", "canon_url")
+
+N_HOST_BUCKETS = 64  # host → bucket for scheduling fairness + partitioning
+
+STATUS_OK = 200
+STATUS_MISSING = 404
+STATUS_TRANSIENT = 503
+
+
+def host_bucket(host: str) -> int:
+    """md5-derived bucket — identical in Python/Spark/DuckDB (hashes.py)."""
+    return bucket(host, N_HOST_BUCKETS)
+
+
+def robots_blocked(path_and_query: str, prefixes: list[str]) -> bool:
+    return any(path_and_query.startswith(p) for p in prefixes)
+
+
+def effective_status(store_status: int | None, attempt: int) -> int:
+    """Fetch outcome for a URL given the page_store row status and the
+    0-based attempt counter. Missing page → 404. A 503 page succeeds
+    from the second attempt on (transient failure model)."""
+    if store_status is None:
+        return STATUS_MISSING
+    if store_status == STATUS_TRANSIENT and attempt == 0:
+        return STATUS_TRANSIENT
+    if store_status == STATUS_TRANSIENT:
+        return STATUS_OK
+    return store_status
+
+
+class PolitenessConfig:
+    """Parsed politeness.json — budgets, robots, retry cap."""
+
+    def __init__(self, raw: dict):
+        self.default_tokens: int = raw.get("default_tokens", 2)
+        self.host_tokens: dict[str, int] = dict(raw.get("hosts", {}))
+        self.robots_disallow: dict[str, list[str]] = {
+            h: list(v) for h, v in raw.get("robots_disallow", {}).items()
+        }
+        self.max_attempts: int = raw.get("max_attempts", 3)
+
+    def tokens(self, host: str) -> int:
+        return self.host_tokens.get(host, self.default_tokens)
+
+    @classmethod
+    def load(cls, path: str) -> "PolitenessConfig":
+        import json
+
+        with open(path) as f:
+            return cls(json.load(f))

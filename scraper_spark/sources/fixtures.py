@@ -1,0 +1,232 @@
+"""Deterministic synthetic web-graph + image/caption corpus (seed=42).
+
+The fetch substrate for the no-network sandbox (FIXTURES.md §1-3):
+
+- ``page_store``   — the "web": list pages that paginate and stop at the
+  first empty page (reference loop: handlers/scrapers.py:88-98) and
+  detail pages that carry an image + caption payload
+  (reference: handlers/diandianzu.py:71-72 image-URL-per-row). Hot-host
+  skew is Zipf(s=1.2) on purpose — it exercises the salted scheduling.
+- ``image_captions`` — exactly the BASELINE.json input_hint schema
+  ``(image_id, bytes, w, h, fmt, caption, phash)``; ~2% near-duplicate
+  rows (re-encoded copies, Hamming ≤ 4) as dedup ground truth.
+- ``seeds`` + politeness config — shared verbatim by the oracle crawler
+  and the Spark engine.
+
+Everything derives from ``numpy.random.default_rng(seed)`` — no wall
+clock, no global random (the reference's `random.randint` jitter —
+handlers/haozu.py:41 — is exactly what the determinism ban removes).
+Generation is pure pyarrow/pandas; Spark reads the parquet output.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+
+import numpy as np
+import pandas as pd
+
+from scraper_spark.functions.canon import canonicalize_url
+from scraper_spark.functions.hashes import md5_hex
+from scraper_spark.functions.imagecodec import (
+    decode_image,
+    encode_image,
+    phash64,
+)
+
+LIST_PAGE_SIZE = 10
+MAX_CROSS_LINKS = 3
+
+_ADJ = ["quiet", "bright", "rusty", "vivid", "pale", "grand", "tiny", "bold",
+        "明亮", "安静", "古老", "崭新"]
+_NOUN = ["harbor", "lantern", "market", "garden", "bridge", "tower", "alley",
+         "码头", "灯笼", "集市", "花园"]
+
+
+def _noisy_variant(canon: str, rng: np.random.Generator) -> str:
+    """Degrade a canonical URL (uppercase host / :80 / fragment / shuffled
+    query) so the engine's canonicalization is actually exercised."""
+    choice = rng.integers(0, 5)
+    if choice == 0:
+        return canon
+    scheme, rest = canon.split("://", 1)
+    host, _, path = rest.partition("/")
+    path = "/" + path
+    if choice == 1:
+        host = host.upper()
+    elif choice == 2:
+        host = host + ":80"
+    elif choice == 3:
+        path = path + "#frag%d" % rng.integers(0, 100)
+    elif choice == 4 and "?" in path:
+        base, _, q = path.partition("?")
+        pairs = q.split("&")
+        rng.shuffle(pairs)
+        path = base + "?" + "&".join(pairs)
+    return f"{scheme}://{host}{path}"
+
+
+def _caption(rng: np.random.Generator) -> str:
+    return (
+        f"{_ADJ[rng.integers(0, len(_ADJ))]} "
+        f"{_NOUN[rng.integers(0, len(_NOUN))]} "
+        f"{_ADJ[rng.integers(0, len(_ADJ))]}-{_NOUN[rng.integers(0, len(_NOUN))]}"
+    )
+
+
+def _make_image(rng: np.random.Generator) -> tuple[np.ndarray, int, int, str]:
+    w = int(rng.integers(32, 129))
+    h = int(rng.integers(32, 129))
+    img = rng.integers(0, 256, (h, w, 3)).astype(np.float64)
+    # low-pass the noise + stamp flat patches → realistic-ish, compressible
+    for _ in range(2):
+        img = (np.roll(img, 1, 0) + np.roll(img, -1, 0)
+               + np.roll(img, 1, 1) + np.roll(img, -1, 1) + img) / 5
+    n_patches = int(rng.integers(1, 4))
+    for _ in range(n_patches):
+        y0 = int(rng.integers(0, max(1, h - 8)))
+        x0 = int(rng.integers(0, max(1, w - 8)))
+        ph = int(rng.integers(4, min(24, h - y0) + 1))
+        pw = int(rng.integers(4, min(24, w - x0) + 1))
+        img[y0 : y0 + ph, x0 : x0 + pw] = rng.integers(0, 256, 3)
+    img = np.clip(img, 0, 255).astype(np.uint8)
+    fmt = "png" if rng.random() < 0.5 else "jpg"
+    return img, w, h, fmt
+
+
+def generate(
+    out_dir: str,
+    n_hosts: int = 20,
+    n_urls: int = 2000,
+    seed: int = 42,
+    near_dup_rate: float = 0.02,
+    default_tokens: int = 2,
+    hot_tokens: int = 1,
+    max_attempts: int = 3,
+) -> dict:
+    """Materialize page_store / image_captions / seeds parquet + politeness
+    JSON under ``out_dir``. Returns summary counts."""
+    rng = np.random.default_rng(seed)
+    os.makedirs(out_dir, exist_ok=True)
+
+    # --- host sizes: Zipf(s=1.2) over ranks -----------------------------
+    ranks = np.arange(1, n_hosts + 1, dtype=np.float64)
+    weights = ranks ** -1.2
+    weights /= weights.sum()
+    n_detail = np.maximum(1, np.round(weights * n_urls)).astype(int)
+    hosts = [f"h{i}.example" for i in range(n_hosts)]
+
+    pages: list[dict] = []
+    images: list[dict] = []
+
+    def detail_url(i: int, k: int) -> str:
+        return f"http://{hosts[i]}/d/{k}"
+
+    def list_url(i: int, p: int) -> str:
+        return f"http://{hosts[i]}/list?page={p}&site=s{i}"
+
+    all_detail = [
+        (i, k) for i in range(n_hosts) for k in range(n_detail[i])
+    ]
+
+    for i in range(n_hosts):
+        nd = n_detail[i]
+        n_list = max(1, math.ceil(nd / LIST_PAGE_SIZE))
+        for p in range(1, n_list + 1):
+            canon = canonicalize_url(list_url(i, p))
+            ks = range((p - 1) * LIST_PAGE_SIZE, min(p * LIST_PAGE_SIZE, nd))
+            links = [_noisy_variant(detail_url(i, k), rng) for k in ks]
+            if p < n_list:
+                links.append(_noisy_variant(list_url(i, p + 1), rng))
+            # ~10% of list pages carry one dangling link
+            if rng.random() < 0.10:
+                links.append(f"http://{hosts[i]}/d/missing{int(rng.integers(0, 10**6))}")
+            # ~15% duplicate targets: repeat one link
+            if links and rng.random() < 0.15:
+                links.append(links[int(rng.integers(0, len(links)))])
+            status = 200  # list pages always resolve
+            pages.append(
+                dict(url=_noisy_variant(canon, rng), canon_url=canon,
+                     host=hosts[i], kind="list", struct_depth=p - 1,
+                     links=links, image_id=None, caption=None, status=status)
+            )
+        for k in range(nd):
+            canon = canonicalize_url(detail_url(i, k))
+            n_cross = int(rng.integers(0, MAX_CROSS_LINKS + 1))
+            links = []
+            for _ in range(n_cross):
+                j, kk = all_detail[int(rng.integers(0, len(all_detail)))]
+                links.append(_noisy_variant(detail_url(j, kk), rng))
+            r = rng.random()
+            status = 200 if r < 0.92 else (404 if r < 0.97 else 503)
+            image_id = caption = None
+            if status == 200:
+                img, w, h, fmt = _make_image(rng)
+                image_id = md5_hex(canon)
+                caption = _caption(rng)
+                data = encode_image(img, fmt)
+                images.append(
+                    dict(image_id=image_id, bytes=data, w=w, h=h, fmt=fmt,
+                         caption=caption, phash=phash64(decode_image(data)))
+                )
+            pages.append(
+                dict(url=_noisy_variant(canon, rng), canon_url=canon,
+                     host=hosts[i], kind="detail", struct_depth=2,
+                     links=links, image_id=image_id, caption=caption,
+                     status=status)
+            )
+
+    # --- near-duplicate images (~2%): re-encode an existing image -------
+    n_dup = max(1, int(len(images) * near_dup_rate))
+    for d in range(n_dup):
+        src = images[int(rng.integers(0, len(images)))]
+        img = decode_image(src["bytes"])
+        fmt = "jpg" if src["fmt"] == "png" else "png"
+        data = encode_image(img, fmt)
+        images.append(
+            dict(image_id=md5_hex(src["image_id"] + f"/dup{d}"),
+                 bytes=data, w=src["w"], h=src["h"], fmt=fmt,
+                 caption=src["caption"], phash=phash64(decode_image(data)))
+        )
+
+    # --- seeds: ≥3 per of the 5 hottest hosts, 50 total -----------------
+    seeds = []
+    for i in range(min(5, n_hosts)):
+        seeds.append(_noisy_variant(list_url(i, 1), rng))
+        seeds.append(_noisy_variant(detail_url(i, 0), rng))
+        if n_detail[i] > 1:
+            seeds.append(_noisy_variant(detail_url(i, 1), rng))
+    i = 5
+    while len(seeds) < 50 and n_hosts > 5:
+        seeds.append(_noisy_variant(list_url(5 + (i - 5) % (n_hosts - 5), 1), rng))
+        i += 1
+    seeds_df = pd.DataFrame(
+        dict(url=seeds, priority=np.zeros(len(seeds), dtype=np.int32))
+    )
+
+    politeness = {
+        "default_tokens": default_tokens,
+        "hosts": {hosts[i]: hot_tokens for i in range(min(5, n_hosts))},
+        "robots_disallow": {hosts[0]: ["/d/1"], hosts[1]: ["/d/2"]},
+        "max_attempts": max_attempts,
+    }
+
+    pages_df = pd.DataFrame(pages)
+    images_df = pd.DataFrame(images)
+    pages_df.to_parquet(os.path.join(out_dir, "page_store.parquet"), index=False)
+    images_df.to_parquet(os.path.join(out_dir, "image_captions.parquet"), index=False)
+    seeds_df.to_parquet(os.path.join(out_dir, "seeds.parquet"), index=False)
+    with open(os.path.join(out_dir, "politeness.json"), "w") as f:
+        json.dump(politeness, f, indent=1, sort_keys=True)
+    return dict(pages=len(pages_df), images=len(images_df), seeds=len(seeds_df))
+
+
+if __name__ == "__main__":
+    import sys
+
+    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scraper_fixtures"
+    n_hosts = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    n_urls = int(sys.argv[3]) if len(sys.argv) > 3 else 2000
+    print(generate(out, n_hosts=n_hosts, n_urls=n_urls))

@@ -1,0 +1,112 @@
+"""Fetch stage — HTTP-shaped, Arrow-batched, network-free in-sandbox.
+
+The reference fetches one page per ``requests`` GET with a shared
+session and infinite retry (reference: handlers/scrapers.py:26-52,
+SURVEY §2.1 S1). The engine's fetch is a ``mapInPandas`` operator:
+one *client* per executor process serves every Arrow batch (the
+session-reuse semantics of ``self.session``), rows go through in
+batches, and the retry budget is data (an ``attempt`` column), not a
+loop.
+
+In this sandbox there is no network, so the client is a
+``ParquetPageStoreClient``: a per-process cached lookup into the
+synthetic page_store parquet. The seam is the point — a real
+``requests.Session``-backed client drops in with the same
+``lookup_batch`` signature and nothing upstream changes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+from pyspark.sql import DataFrame
+
+from scraper_spark.plans.spec import STATUS_MISSING, STATUS_OK, STATUS_TRANSIENT
+
+# per-executor-process cache: one loaded store per path (session reuse)
+_STORE_CACHE: dict[str, dict] = {}
+
+
+def _load_store(path: str) -> dict:
+    store = _STORE_CACHE.get(path)
+    if store is None:
+        t = pq.read_table(
+            path, columns=["canon_url", "status", "links", "image_id", "caption"]
+        )
+        d = t.to_pydict()
+        store = {
+            u: (s, l, i, c)
+            for u, s, l, i, c in zip(
+                d["canon_url"], d["status"], d["links"], d["image_id"], d["caption"]
+            )
+        }
+        _STORE_CACHE[path] = store
+    return store
+
+
+class ParquetPageStoreClient:
+    """The sandbox 'HTTP client': canon_url batch → page rows."""
+
+    def __init__(self, store_path: str):
+        self.store_path = store_path
+
+    def lookup_batch(self, urls: pd.Series, attempts: pd.Series) -> pd.DataFrame:
+        store = _load_store(self.store_path)
+        status = np.empty(len(urls), dtype=np.int64)
+        links: list[list[str] | None] = []
+        image_id: list[str | None] = []
+        caption: list[str | None] = []
+        for i, (u, att) in enumerate(zip(urls, attempts)):
+            row = store.get(u)
+            if row is None:
+                status[i] = STATUS_MISSING
+                links.append(None)
+                image_id.append(None)
+                caption.append(None)
+                continue
+            s, l, im, cap = row
+            if s == STATUS_TRANSIENT and att == 0:
+                status[i] = STATUS_TRANSIENT
+                links.append(None)
+                image_id.append(None)
+                caption.append(None)
+                continue
+            status[i] = STATUS_OK if s == STATUS_TRANSIENT else s
+            links.append(list(l) if l is not None else None)
+            image_id.append(im)
+            caption.append(cap)
+        return pd.DataFrame(
+            {"status": status, "links": links, "image_id": image_id, "caption": caption}
+        )
+
+
+_FETCH_EXTRA_SCHEMA = (
+    "status int, links array<string>, image_id string, caption string"
+)
+
+
+def fetch(scheduled: DataFrame, store_path: str) -> DataFrame:
+    """mapInPandas fetch: input must carry canon_url + attempt columns.
+
+    Output = input columns + (status, links, image_id, caption) with
+    ``effective_status`` semantics (503 transient succeeds on retry —
+    plans/spec.py) applied client-side.
+    """
+    in_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in scheduled.schema.fields)
+    out_schema = f"{in_schema}, {_FETCH_EXTRA_SCHEMA}"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        client = ParquetPageStoreClient(store_path)  # one per task; store cached per process
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            extra = client.lookup_batch(pdf["canon_url"], pdf["attempt"])
+            yield pd.concat(
+                [pdf.reset_index(drop=True), extra.reset_index(drop=True)], axis=1
+            )
+
+    return scheduled.mapInPandas(run, out_schema)

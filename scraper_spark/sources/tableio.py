@@ -1,0 +1,138 @@
+"""Snapshot-committed table IO — the Iceberg-shaped storage seam.
+
+The reference gets atomic publish by staging rows in a temp SQL table
+and committing with one ``INSERT ... SELECT`` (reference:
+handlers/db.py:279-341, SURVEY §2.1 K1). Iceberg gives the same thing
+with snapshot commits; its runtime jars are not in this sandbox, so
+this module provides an identical *shape*: each ``append``/``overwrite``
+writes parquet files into a fresh ``data/s<NNNN>/`` directory and then
+atomically commits a ``manifest.json`` (write-temp + ``os.replace``).
+Readers only ever see committed snapshots, and ``as_of=<snapshot_id>``
+time-travel reads power the byte-identical crawl resume (SURVEY §2.11
+T5). Swapping in real Iceberg means replacing this class with
+``df.writeTo(...)``/``spark.read.option("snapshot-id", ...)`` — the
+engine code above this seam does not change.
+
+At cluster scale the parquet files live on an object store; the manifest
+commit maps to a metastore/catalog swap. Partition layout is delegated
+to the DataFrame's own ``partitionBy`` columns when given.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+_MANIFEST = "manifest.json"
+
+
+class TableIO:
+    """A versioned parquet table rooted at ``root``."""
+
+    def __init__(self, root: str):
+        self.root = root
+
+    # -- manifest plumbing -------------------------------------------------
+    def _manifest_path(self) -> str:
+        return os.path.join(self.root, _MANIFEST)
+
+    def _load(self) -> dict:
+        try:
+            with open(self._manifest_path()) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {"snapshots": [], "current": None}
+
+    def _commit(self, manifest: dict) -> None:
+        os.makedirs(self.root, exist_ok=True)
+        tmp = self._manifest_path() + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1, sort_keys=True)
+        os.replace(tmp, self._manifest_path())  # atomic on POSIX
+
+    # -- public API --------------------------------------------------------
+    def exists(self) -> bool:
+        return os.path.exists(self._manifest_path())
+
+    def snapshots(self) -> list[dict]:
+        return self._load()["snapshots"]
+
+    def current_snapshot_id(self) -> int | None:
+        return self._load()["current"]
+
+    def _write(self, df: DataFrame, op: str, partition_by: list[str] | None) -> int:
+        m = self._load()
+        sid = (m["snapshots"][-1]["id"] + 1) if m["snapshots"] else 1
+        rel = f"data/s{sid:06d}"
+        out = os.path.join(self.root, rel)
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(out)
+        m["snapshots"].append(
+            {"id": sid, "op": op, "dir": rel, "schema": df.schema.json()}
+        )
+        m["current"] = sid
+        self._commit(m)
+        return sid
+
+    def append(self, df: DataFrame, partition_by: list[str] | None = None) -> int:
+        """Atomically append ``df`` as a new snapshot; returns snapshot id."""
+        return self._write(df, "append", partition_by)
+
+    def overwrite(self, df: DataFrame, partition_by: list[str] | None = None) -> int:
+        """Atomically replace table contents as a new snapshot."""
+        return self._write(df, "overwrite", partition_by)
+
+    def _dirs_as_of(self, as_of: int | None) -> list[str]:
+        m = self._load()
+        sid = m["current"] if as_of is None else as_of
+        dirs: list[str] = []
+        for s in m["snapshots"]:
+            if s["id"] > (sid or 0):
+                break
+            if s["op"] == "overwrite":
+                dirs = []
+            dirs.append(os.path.join(self.root, s["dir"]))
+        return dirs
+
+    def read(
+        self,
+        spark: SparkSession,
+        as_of: int | None = None,
+        schema: StructType | None = None,
+    ) -> DataFrame:
+        """Read the table at ``as_of`` (default: current snapshot).
+
+        An empty/absent table returns an empty DataFrame when ``schema``
+        (or any committed snapshot schema) is available.
+        """
+        dirs = self._dirs_as_of(as_of)
+        if dirs:
+            return spark.read.parquet(*dirs)
+        if schema is None:
+            m = self._load()
+            if m["snapshots"]:
+                schema = StructType.fromJson(json.loads(m["snapshots"][-1]["schema"]))
+        if schema is None:
+            raise ValueError(f"table {self.root} is empty and no schema given")
+        return spark.createDataFrame([], schema)
+
+    def rollback(self, snapshot_id: int) -> None:
+        """Drop snapshots newer than ``snapshot_id`` (crash-resume path).
+
+        Data directories of dropped snapshots are removed; uncommitted
+        (never-manifested) directories are ignored by readers anyway.
+        """
+        m = self._load()
+        keep = [s for s in m["snapshots"] if s["id"] <= snapshot_id]
+        drop = [s for s in m["snapshots"] if s["id"] > snapshot_id]
+        m["snapshots"], m["current"] = keep, (keep[-1]["id"] if keep else None)
+        self._commit(m)
+        for s in drop:
+            shutil.rmtree(os.path.join(self.root, s["dir"]), ignore_errors=True)

@@ -1,0 +1,137 @@
+"""Golden end-to-end: Spark engine ≡ oracle crawler (SURVEY §5.2 item 3),
+kill/resume byte-identity (item 5), hash parity, image fidelity (item 4).
+
+These are the north-rule gates: exact crawl order, exact URL-seen set,
+byte-identical resume, PSNR ≥ 40 dB + caption equality on every stored
+image row.
+"""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from scraper_spark.functions import imagecodec as ic
+from scraper_spark.plans.frontier import CrawlEngine
+from scraper_spark.plans.oracle import crawl as oracle_crawl
+
+LOG_COLS = [
+    "seq", "round", "canon_url", "host", "host_bucket",
+    "depth", "discovery_time", "status",
+]
+
+
+def _engine_log(eng, spark) -> pd.DataFrame:
+    pdf = eng.t_log.read(spark).toPandas().sort_values("seq").reset_index(drop=True)
+    return pdf[LOG_COLS].astype(
+        {c: "int64" for c in LOG_COLS if c not in ("canon_url", "host")}
+    )
+
+
+@pytest.fixture(scope="module")
+def crawl_pair(spark, fixture_dir, tmp_path_factory):
+    work = str(tmp_path_factory.mktemp("crawl_work"))
+    eng = CrawlEngine(spark, fixture_dir, work)
+    totals = eng.run()
+    ora = oracle_crawl(fixture_dir)
+    return eng, ora, totals
+
+
+def test_crawl_log_exact_match(spark, crawl_pair):
+    eng, ora, _ = crawl_pair
+    elog = _engine_log(eng, spark)
+    olog = ora.log.astype(elog.dtypes.to_dict())
+    assert len(elog) == len(olog)
+    pd.testing.assert_frame_equal(elog, olog)
+
+
+def test_url_seen_exact_match(spark, crawl_pair):
+    eng, ora, _ = crawl_pair
+    eseen = set(eng.t_seen.read(spark).toPandas()["canon_url"])
+    assert eseen == ora.seen
+
+
+def test_errors_match(spark, crawl_pair):
+    eng, ora, _ = crawl_pair
+    try:
+        eerr = set(eng.t_errors.read(spark).toPandas()["canon_url"])
+    except ValueError:
+        eerr = set()
+    assert eerr == set(ora.errors)
+
+
+def test_image_rows_match_oracle_and_fidelity(spark, fixture_dir, crawl_pair):
+    eng, ora, _ = crawl_pair
+    imgs = eng.t_images.read(spark).toPandas()
+    # set equivalence with the oracle's harvested (image_id, canon_url)
+    assert set(zip(imgs.image_id, imgs.canon_url)) == set(
+        zip(ora.images.image_id, ora.images.canon_url)
+    )
+    # input_hint invariants vs the source corpus: caption equality,
+    # decoded-pixel fidelity (bit-exact png / PSNR ≥ 40 dB lossy)
+    src = pd.read_parquet(os.path.join(fixture_dir, "image_captions.parquet"))
+    src = src.set_index("image_id")
+    for row in imgs.itertuples(index=False):
+        s = src.loc[row.image_id]
+        assert row.caption == s["caption"]
+        dec = ic.decode_image(bytes(row.bytes))
+        sdec = ic.decode_image(bytes(s["bytes"]))
+        if s["fmt"] == "png":
+            assert np.array_equal(dec, sdec)
+        else:
+            assert ic.psnr(dec, sdec) == np.inf  # same stored bytes decode equal
+        assert row.phash == s["phash"]  # engine recomputed phash from bytes
+        assert (row.h, row.w) == dec.shape[:2]
+
+
+def test_resume_byte_identical(spark, fixture_dir, tmp_path_factory, crawl_pair):
+    """Kill after a round-k commit, resume, require identical log+seen."""
+    eng_full, _, totals = crawl_pair
+    work2 = str(tmp_path_factory.mktemp("crawl_resume"))
+    eng = CrawlEngine(spark, fixture_dir, work2)
+    k = max(1, totals["rounds"] // 3)
+    eng.run(max_rounds=k)  # "killed" after k committed rounds
+    eng2 = CrawlEngine(spark, fixture_dir, work2)  # fresh process analog
+    eng2.run()
+    a = _engine_log(eng_full, spark)
+    b = _engine_log(eng2, spark)
+    pd.testing.assert_frame_equal(a, b)
+    sa = set(eng_full.t_seen.read(spark).toPandas()["canon_url"])
+    sb = set(eng2.t_seen.read(spark).toPandas()["canon_url"])
+    assert sa == sb
+
+
+def test_no_bloom_same_result(spark, fixture_dir, tmp_path_factory, crawl_pair):
+    """Bloom is a prefilter only — disabling it must not change anything."""
+    eng_full, _, _ = crawl_pair
+    work = str(tmp_path_factory.mktemp("crawl_nobloom"))
+    eng = CrawlEngine(spark, fixture_dir, work, use_bloom=False, decode_images=False)
+    eng.run()
+    pd.testing.assert_frame_equal(_engine_log(eng_full, spark), _engine_log(eng, spark))
+
+
+def test_hash_parity_python_spark_duckdb(spark):
+    """md5-derived bucket/long identical across all three engines."""
+    import duckdb
+
+    from scraper_spark.functions import hashes as H
+    from pyspark.sql import functions as F
+
+    vals = ["http://a.example/x", "h0.example", "täst", ""]
+    pdf = pd.DataFrame({"s": vals})
+    sdf = spark.createDataFrame(pdf)
+    got_spark = [
+        (r[0], r[1])
+        for r in sdf.select(
+            H.md5_long_col(F.col("s")), H.bucket_col(F.col("s"), 64)
+        ).collect()
+    ]
+    con = duckdb.connect()
+    con.register("t", pdf)
+    got_duck = con.sql(
+        f"SELECT {H.md5_long_sql('s')}, {H.bucket_sql('s', 64)} FROM t"
+    ).fetchall()
+    got_py = [(H.md5_long(v), H.bucket(v, 64)) for v in vals]
+    assert got_spark == got_py
+    assert [tuple(r) for r in got_duck] == got_py
