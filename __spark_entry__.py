@@ -1,38 +1,735 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: the engine's priority-scheduling kernel
+(per-bucket budgeted top-k, the frontier scheduler of
+scraper_spark/plans/frontier.py) run over sf0.001 testdata.
+
+``queries()`` / ``oracle_sql()`` — one pair per operator family from
+SURVEY.md §2 plus the training-data operators (dedup / similarity /
+text analysis). Spark implementations live in ``scraper_spark``;
+each oracle is ANSI-ish SQL DuckDB runs on the same parquet. Every
+computed column is aliased identically on both sides; doubles are
+rounded and timestamps formatted to strings so cross-engine
+value-hashing is stable.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from scraper_spark.functions.hashes import bucket_col, bucket_sql
+from scraper_spark.operators import dedup as D, similarity as S, text as X
 
 
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# =====================================================================
+# flagship
+# =====================================================================
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Priority-scheduling kernel over sf0.001: orders = frontier,
+    custkey = host, budget 2 per md5-derived bucket (SURVEY §2.6/O3)."""
+    sf = "/root/testdata/sf0.001"
+    orders = _t(spark, sf, "orders")
+    customer = _t(spark, sf, "customer")
+    frontier = orders.withColumn(
+        "host_bucket", bucket_col(F.col("o_custkey").cast("string"), 64)
+    )
+    w = W.partitionBy("host_bucket").orderBy("o_orderdate", "o_orderkey")
+    sched = frontier.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= 2)
+    return (
+        sched.join(F.broadcast(customer), sched.o_custkey == customer.c_custkey)
+        .select(
+            "host_bucket",
+            "rnk",
+            "o_orderkey",
+            "c_name",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            F.round("o_totalprice", 2).alias("price"),
+        )
+        .orderBy("host_bucket", "rnk", "o_orderkey")
+    )
+
+
+# =====================================================================
+# relational operator inventory (SURVEY §2) — spark side
+# =====================================================================
+def q_a1_groupby_minmax(spark, sf):
+    # A1 (cn_postalcode.py:196-199): group-by min/max/count
+    return (
+        _t(spark, sf, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.min("l_quantity").alias("min_qty"),
+            F.max("l_quantity").alias("max_qty"),
+            F.count("*").alias("n_rows"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+def q_a2_collect_list(spark, sf):
+    # A2 (cn_postalcode.py:207-209): group-by collect-list (sorted for determinism)
+    return (
+        _t(spark, sf, "documents")
+        .groupBy("lang")
+        .agg(
+            F.sort_array(F.collect_set("source")).alias("sources"),
+            F.count("*").alias("n_docs"),
+        )
+    )
+
+
+def q_a3_rollup(spark, sf):
+    # A3 (cn_postalcode.py:196-214): 3-level manual rollup → one ROLLUP
+    region = _t(spark, sf, "region")
+    nation = _t(spark, sf, "nation")
+    customer = _t(spark, sf, "customer")
+    j = customer.join(nation, customer.c_nationkey == nation.n_nationkey).join(
+        region, nation.n_regionkey == region.r_regionkey
+    )
+    return (
+        j.rollup("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_cust"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("r_name"),
+            F.coalesce("n_name", F.lit("ALL")).alias("n_name"),
+            "n_cust",
+            "sum_bal",
+        )
+    )
+
+
+def q_a4_distinct(spark, sf):
+    # A4 (db.py:189): distinct values
+    return _t(spark, sf, "customer").select("c_mktsegment").distinct()
+
+
+def q_a5_dedup_first_wins(spark, sf):
+    # A5/§2.6 (db.py:38-54): windowed keep-one-per-key (latest order/cust)
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_orderdate").desc(), F.col("o_orderkey"))
+    return (
+        _t(spark, sf, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("latest_date"),
+        )
+    )
+
+
+def q_a6_len_profile(spark, sf):
+    # A6 (utility_commons.py:116-120): per-column max-length, floor 50
+    c = _t(spark, sf, "customer")
+    return c.agg(
+        *[
+            F.greatest(F.max(F.length(col)), F.lit(50)).alias(f"len_{col}")
+            for col in ["c_name", "c_mktsegment"]
+        ]
+    )
+
+
+def q_j1_anti(spark, sf):
+    # J1 (db.py:191-203): anti join — the url_seen/checkpoint operator
+    customer = _t(spark, sf, "customer")
+    big_orders = _t(spark, sf, "orders").where(F.col("o_totalprice") > 300000)
+    return (
+        customer.join(big_orders, customer.c_custkey == big_orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+def q_j2_semi(spark, sf):
+    # J2 (db.py:38-54): semi join for dedup-delete
+    customer = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_semi")
+        .select("c_custkey", "c_acctbal")
+    )
+
+
+def q_j3_left_agg(spark, sf):
+    # J3 (cn_postalcode.py:216): left equi join onto grouped min/max
+    nation = _t(spark, sf, "nation")
+    cust = (
+        _t(spark, sf, "customer")
+        .groupBy("c_nationkey")
+        .agg(
+            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+            F.count("*").alias("n_cust"),
+        )
+    )
+    return nation.join(
+        cust, nation.n_nationkey == cust.c_nationkey, "left"
+    ).select("n_name", "min_bal", "max_bal", F.coalesce("n_cust", F.lit(0)).alias("n_cust"))
+
+
+def q_j4_outer(spark, sf):
+    # J4 (cn_postalcode.py:218): full outer join of two aggregates
+    cust = (
+        _t(spark, sf, "customer")
+        .where(F.col("c_acctbal") > 5000)
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("rich_cust"))
+    )
+    supp = (
+        _t(spark, sf, "supplier")
+        .where(F.col("s_acctbal") > 5000)
+        .groupBy("s_nationkey")
+        .agg(F.count("*").alias("rich_supp"))
+    )
+    return (
+        cust.join(supp, cust.c_nationkey == supp.s_nationkey, "outer")
+        .select(
+            F.coalesce("c_nationkey", "s_nationkey").alias("nationkey"),
+            F.coalesce("rich_cust", F.lit(0)).alias("rich_cust"),
+            F.coalesce("rich_supp", F.lit(0)).alias("rich_supp"),
+        )
+    )
+
+
+def q_j5_lateral_explode(spark, sf):
+    # J5 (default_api.py:83-103): correlated row → 0..N rows with ref_ carry
+    docs = _t(spark, sf, "documents")
+    return (
+        docs.select(
+            F.col("doc_id").alias("ref_doc_id"),
+            F.col("lang").alias("ref_lang"),
+            F.explode(X.tokens_col(F.lower(F.col("text")))).alias("token"),
+        )
+        .where(F.length("token") >= 8)
+    )
+
+
+def q_j6_broadcast_lookup(spark, sf):
+    # J6 (S8 lookup files): broadcast dim join
+    region = _t(spark, sf, "region")
+    nation = _t(spark, sf, "nation")
+    customer = _t(spark, sf, "customer")
+    dim = nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    return (
+        customer.join(F.broadcast(dim), customer.c_nationkey == dim.n_nationkey)
+        .groupBy("r_name")
+        .agg(F.count("*").alias("n_cust"), F.round(F.avg("c_acctbal"), 2).alias("avg_bal"))
+    )
+
+
+def q_u1_union(spark, sf):
+    # U1 (cn_postalcode.py:205,214): column-aligned union then agg
+    c = _t(spark, sf, "customer").select(
+        F.col("c_name").alias("name"), F.col("c_acctbal").alias("bal")
+    )
+    s = _t(spark, sf, "supplier").select(
+        F.col("s_name").alias("name"), F.col("s_acctbal").alias("bal")
+    )
+    return (
+        c.unionByName(s)
+        .groupBy(F.substring("name", 1, 9).alias("prefix"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("bal"), 2).alias("sum_bal"))
+    )
+
+
+def q_u2_except(spark, sf):
+    # U2 (db.py:200): set difference
+    has_cust = (
+        _t(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey")).distinct()
+    )
+    has_rich = (
+        _t(spark, sf, "customer")
+        .where(F.col("c_acctbal") > 9000)
+        .select(F.col("c_nationkey").alias("nationkey"))
+        .distinct()
+    )
+    return has_cust.exceptAll(has_rich)
+
+
+def q_p5_regex_extract(spark, sf):
+    # P5 (haozu.py:48): regex ID extraction + P4 surrogate key
+    return _t(spark, sf, "customer").select(
+        "c_custkey",
+        F.regexp_extract("c_name", r"(\d+)", 1).alias("id_str"),
+        F.concat_ws("_", F.lit("cust"), F.regexp_extract("c_name", r"(\d+)", 1)).alias(
+            "source_id"
+        ),
+    )
+
+
+def q_p6_conditional_scaling(spark, sf):
+    # P6 (haozu.py:75-79): unit-suffix conditional rescale with fallback
+    return _t(spark, sf, "orders").select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderpriority").rlike("^1-"), F.round(F.col("o_totalprice") * 10, 2)
+        )
+        .otherwise(F.round(F.col("o_totalprice"), 2))
+        .alias("scaled_price"),
+    )
+
+
+def q_p7_split(spark, sf):
+    # P7 (diandianzu.py:77-80): compound-field split → two columns
+    s = F.split(F.col("o_orderpriority"), "-")
+    return _t(spark, sf, "orders").select(
+        "o_orderkey",
+        s.getItem(0).alias("prio_num"),
+        s.getItem(1).alias("prio_word"),
+    )
+
+
+def q_p8_regex_scrub(spark, sf):
+    # P8/P9 (diandianzu.py:118-122, haozu.py:93): regex scrub + ws collapse
+    return _t(spark, sf, "documents").select(
+        "doc_id",
+        F.trim(
+            F.regexp_replace(F.regexp_replace("text", r"[.!?,;:]", ""), r"\s+", ",")
+        ).alias("scrubbed"),
+    )
+
+
+def q_p12_truncate_nullify(spark, sf):
+    # P12/P15 (haozu.py:127-136, db.py:101-102): 255-cap + blank→null
+    return _t(spark, sf, "documents").select(
+        "doc_id",
+        F.substring("text", 1, 255).alias("text_capped"),
+        F.when(F.trim(F.col("text")) == "", None)
+        .otherwise(F.trim(F.col("text")))
+        .alias("text_nullified"),
+        F.length(F.substring("text", 1, 255)).alias("capped_len"),
+    )
+
+
+def q_o3_topk_per_group(spark, sf):
+    # O3 (scrapers.py:84-92): budgeted top-k per group — the scheduler kernel
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        _t(spark, sf, "orders")
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "rnk", F.round("o_totalprice", 2).alias("price"))
+    )
+
+
+def q_w_running_sum(spark, sf):
+    # §2.6: running aggregate (replaces loop-position state)
+    w = (
+        W.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return (
+        _t(spark, sf, "lineitem")
+        .where(F.col("l_suppkey") <= 20)
+        .select(
+            "l_suppkey",
+            "l_orderkey",
+            "l_linenumber",
+            F.round(F.sum("l_extendedprice").over(w), 2).alias("running_rev"),
+        )
+    )
+
+
+def q_f4_contains(spark, sf):
+    # F4 (baidu_api.py:64-69): substring containment OR-chain
+    return _t(spark, sf, "documents").select(
+        "doc_id",
+        (
+            F.col("text").contains("the")
+            | F.col("text").contains("data")
+            | F.col("text").contains("und")
+        ).alias("hit"),
+    )
+
+
+def q_k2_content_hash(spark, sf):
+    # K2 (db.py:97-99): content-hash surrogate ids (NEWID → md5)
+    return _t(spark, sf, "customer").select(
+        "c_custkey",
+        F.substring(
+            F.md5(F.concat_ws("|", F.col("c_name"), F.col("c_mktsegment"))), 1, 16
+        ).alias("row_id"),
+    )
+
+
+def q_f9_inequality(spark, sf):
+    # F9 (cn_postalcode.py:197): inequality filter on grouped output
+    n = _t(spark, sf, "nation")
+    return (
+        n.alias("a")
+        .join(n.alias("b"), F.col("a.n_regionkey") == F.col("b.n_regionkey"))
+        .where(F.col("a.n_nationkey") < F.col("b.n_nationkey"))
+        .select(
+            F.col("a.n_name").alias("nation_a"), F.col("b.n_name").alias("nation_b")
+        )
+    )
+
+
+def q_t1_sessionize(spark, sf):
+    # T-family (§2.11): sessionization = gap>600s cumsum (lag window)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # fractional-second epochs (cast to double) — unix_timestamp truncates
+    # to whole seconds and would disagree with the oracle's epoch_ms
+    # ts is TIMESTAMP_NTZ; session tz is pinned UTC so ntz→timestamp→double
+    # agrees with the oracle's naive-as-UTC epoch_ms
+    ep = F.col("ts").cast("timestamp").cast("double")
+    gap_ms = (ep - F.lag(ep).over(w)) * 1000
+    marked = _t(spark, sf, "events").withColumn(
+        "new_sess", F.when(gap_ms.isNull() | (gap_ms > 600_000), 1).otherwise(0)
+    )
+    sess = marked.withColumn(
+        "sess_id", F.sum("new_sess").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    return sess.groupBy("user_id").agg(
+        F.max("sess_id").alias("n_sessions"), F.count("*").alias("n_events")
+    )
+
+
+def q_t2_window_agg(spark, sf):
+    # §2.11/streaming: tumbling 5-min aggregate (epoch-bucketed)
+    return (
+        _t(spark, sf, "events")
+        .groupBy(
+            (F.floor(F.unix_timestamp("ts") / 300) * 300).alias("win_start"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+def q_c_schedule_kernel(spark, sf):
+    # the frontier scheduler on relational data: md5 host buckets (parity-
+    # critical hash), budget-2 window top-k (plans/frontier.py:_schedule)
+    orders = _t(spark, sf, "orders").withColumn(
+        "host_bucket", bucket_col(F.col("o_custkey").cast("string"), 64)
+    )
+    w = W.partitionBy("host_bucket").orderBy("o_orderdate", "o_orderkey")
+    return (
+        orders.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 2)
+        .select(
+            "host_bucket",
+            "rnk",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        )
+    )
+
+
+# ---- training-data operators ----------------------------------------
+def q_x_token_count(spark, sf):
+    return X.token_count(_t(spark, sf, "documents"))
+
+
+def q_x_lang_id(spark, sf):
+    return X.lang_id(_t(spark, sf, "documents"))
+
+
+def q_x_quality(spark, sf):
+    return X.quality_score(_t(spark, sf, "documents"))
+
+
+def q_x_fingerprint(spark, sf):
+    return X.fingerprint(_t(spark, sf, "documents"))
+
+
+def q_d_exact_dups(spark, sf):
+    return D.exact_dup_groups(_t(spark, sf, "documents"))
+
+
+def q_d_minhash_sig(spark, sf):
+    return D.minhash_signatures(_t(spark, sf, "documents"))
+
+
+def q_d_lsh_pairs(spark, sf):
+    return D.lsh_candidate_pairs(_t(spark, sf, "documents"))
+
+
+def q_d_simhash(spark, sf):
+    return D.simhash(_t(spark, sf, "documents"))
+
+
+def q_d_ngram_jaccard(spark, sf):
+    return D.ngram_jaccard_pairs(_t(spark, sf, "documents"))
+
+
+def q_s_cosine_topk(spark, sf):
+    return S.cosine_topk(_t(spark, sf, "embeddings"))
+
+
+def q_s_lsh_topk(spark, sf):
+    return S.lsh_bucketed_topk(_t(spark, sf, "embeddings"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "a1_groupby_minmax": q_a1_groupby_minmax,
+        "a2_collect_list": q_a2_collect_list,
+        "a3_rollup": q_a3_rollup,
+        "a4_distinct": q_a4_distinct,
+        "a5_dedup_first_wins": q_a5_dedup_first_wins,
+        "a6_len_profile": q_a6_len_profile,
+        "j1_anti": q_j1_anti,
+        "j2_semi": q_j2_semi,
+        "j3_left_agg": q_j3_left_agg,
+        "j4_outer": q_j4_outer,
+        "j5_lateral_explode": q_j5_lateral_explode,
+        "j6_broadcast_lookup": q_j6_broadcast_lookup,
+        "u1_union": q_u1_union,
+        "u2_except": q_u2_except,
+        "p5_regex_extract": q_p5_regex_extract,
+        "p6_conditional_scaling": q_p6_conditional_scaling,
+        "p7_split": q_p7_split,
+        "p8_regex_scrub": q_p8_regex_scrub,
+        "p12_truncate_nullify": q_p12_truncate_nullify,
+        "o3_topk_per_group": q_o3_topk_per_group,
+        "w_running_sum": q_w_running_sum,
+        "f4_contains": q_f4_contains,
+        "f9_inequality": q_f9_inequality,
+        "k2_content_hash": q_k2_content_hash,
+        "t1_sessionize": q_t1_sessionize,
+        "t2_window_agg": q_t2_window_agg,
+        "c_schedule_kernel": q_c_schedule_kernel,
+        "x_token_count": q_x_token_count,
+        "x_lang_id": q_x_lang_id,
+        "x_quality": q_x_quality,
+        "x_fingerprint": q_x_fingerprint,
+        "d_exact_dups": q_d_exact_dups,
+        "d_minhash_sig": q_d_minhash_sig,
+        "d_lsh_pairs": q_d_lsh_pairs,
+        "d_simhash": q_d_simhash,
+        "d_ngram_jaccard": q_d_ngram_jaccard,
+        "s_cosine_topk": q_s_cosine_topk,
+        "s_lsh_topk": q_s_lsh_topk,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
 
-
+# =====================================================================
+# oracle SQL (DuckDB) — identical semantics + aliases
+# =====================================================================
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "a1_groupby_minmax": """
+            SELECT l_returnflag, l_linestatus,
+                   min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+                   count(*) AS n_rows, round(sum(l_extendedprice), 2) AS sum_price
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "a2_collect_list": """
+            SELECT lang, list_sort(list(DISTINCT source)) AS sources,
+                   count(*) AS n_docs
+            FROM documents GROUP BY lang
+        """,
+        "a3_rollup": """
+            SELECT coalesce(r_name, 'ALL') AS r_name,
+                   coalesce(n_name, 'ALL') AS n_name,
+                   count(*) AS n_cust, round(sum(c_acctbal), 2) AS sum_bal
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY ROLLUP (r_name, n_name)
+        """,
+        "a4_distinct": "SELECT DISTINCT c_mktsegment FROM customer",
+        "a5_dedup_first_wins": """
+            SELECT o_custkey, o_orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d') AS latest_date
+            FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey
+              ) AS rn FROM orders
+            ) WHERE rn = 1
+        """,
+        "a6_len_profile": """
+            SELECT greatest(max(length(c_name)), 50) AS len_c_name,
+                   greatest(max(length(c_mktsegment)), 50) AS len_c_mktsegment
+            FROM customer
+        """,
+        "j1_anti": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE NOT EXISTS (
+              SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_totalprice > 300000
+            )
+        """,
+        "j2_semi": """
+            SELECT c_custkey, c_acctbal FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """,
+        "j3_left_agg": """
+            WITH g AS (
+              SELECT c_nationkey, round(min(c_acctbal), 2) AS min_bal,
+                     round(max(c_acctbal), 2) AS max_bal, count(*) AS n_cust
+              FROM customer GROUP BY c_nationkey
+            )
+            SELECT n_name, min_bal, max_bal, coalesce(n_cust, 0) AS n_cust
+            FROM nation LEFT JOIN g ON n_nationkey = c_nationkey
+        """,
+        "j4_outer": """
+            WITH c AS (
+              SELECT c_nationkey, count(*) AS rich_cust FROM customer
+              WHERE c_acctbal > 5000 GROUP BY c_nationkey
+            ), s AS (
+              SELECT s_nationkey, count(*) AS rich_supp FROM supplier
+              WHERE s_acctbal > 5000 GROUP BY s_nationkey
+            )
+            SELECT coalesce(c_nationkey, s_nationkey) AS nationkey,
+                   coalesce(rich_cust, 0) AS rich_cust,
+                   coalesce(rich_supp, 0) AS rich_supp
+            FROM c FULL OUTER JOIN s ON c_nationkey = s_nationkey
+        """,
+        "j5_lateral_explode": f"""
+            SELECT * FROM (
+              SELECT doc_id AS ref_doc_id, lang AS ref_lang,
+                     unnest({X.tokens_sql('lower(text)')}) AS token
+              FROM documents
+            ) WHERE length(token) >= 8
+        """,
+        "j6_broadcast_lookup": """
+            SELECT r_name, count(*) AS n_cust,
+                   round(avg(c_acctbal), 2) AS avg_bal
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "u1_union": """
+            WITH u AS (
+              SELECT c_name AS name, c_acctbal AS bal FROM customer
+              UNION ALL
+              SELECT s_name AS name, s_acctbal AS bal FROM supplier
+            )
+            SELECT substr(name, 1, 9) AS prefix, count(*) AS n,
+                   round(sum(bal), 2) AS sum_bal
+            FROM u GROUP BY 1
+        """,
+        "u2_except": """
+            SELECT DISTINCT c_nationkey AS nationkey FROM customer
+            EXCEPT
+            SELECT DISTINCT c_nationkey AS nationkey FROM customer
+            WHERE c_acctbal > 9000
+        """,
+        "p5_regex_extract": """
+            SELECT c_custkey, regexp_extract(c_name, '(\\d+)', 1) AS id_str,
+                   'cust_' || regexp_extract(c_name, '(\\d+)', 1) AS source_id
+            FROM customer
+        """,
+        "p6_conditional_scaling": """
+            SELECT o_orderkey,
+                   CASE WHEN regexp_matches(o_orderpriority, '^1-')
+                        THEN round(o_totalprice * 10, 2)
+                        ELSE round(o_totalprice, 2) END AS scaled_price
+            FROM orders
+        """,
+        "p7_split": """
+            SELECT o_orderkey,
+                   string_split(o_orderpriority, '-')[1] AS prio_num,
+                   string_split(o_orderpriority, '-')[2] AS prio_word
+            FROM orders
+        """,
+        "p8_regex_scrub": """
+            SELECT doc_id,
+                   trim(regexp_replace(
+                     regexp_replace(text, '[.!?,;:]', '', 'g'), '\\s+', ',', 'g'
+                   )) AS scrubbed
+            FROM documents
+        """,
+        "p12_truncate_nullify": """
+            SELECT doc_id, substr(text, 1, 255) AS text_capped,
+                   CASE WHEN trim(text) = '' THEN NULL ELSE trim(text) END
+                     AS text_nullified,
+                   length(substr(text, 1, 255)) AS capped_len
+            FROM documents
+        """,
+        "o3_topk_per_group": """
+            SELECT o_custkey, o_orderkey, rnk, round(o_totalprice, 2) AS price
+            FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+              ) AS rnk FROM orders
+            ) WHERE rnk <= 3
+        """,
+        "w_running_sum": """
+            SELECT l_suppkey, l_orderkey, l_linenumber,
+                   round(sum(l_extendedprice) OVER (
+                     PARTITION BY l_suppkey
+                     ORDER BY l_shipdate, l_orderkey, l_linenumber
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ), 2) AS running_rev
+            FROM lineitem WHERE l_suppkey <= 20
+        """,
+        "f4_contains": """
+            SELECT doc_id,
+                   (text LIKE '%the%' OR text LIKE '%data%' OR text LIKE '%und%')
+                     AS hit
+            FROM documents
+        """,
+        "f9_inequality": """
+            SELECT a.n_name AS nation_a, b.n_name AS nation_b
+            FROM nation a JOIN nation b ON a.n_regionkey = b.n_regionkey
+            WHERE a.n_nationkey < b.n_nationkey
+        """,
+        "k2_content_hash": """
+            SELECT c_custkey,
+                   substr(md5(c_name || '|' || c_mktsegment), 1, 16) AS row_id
+            FROM customer
+        """,
+        "t1_sessionize": """
+            WITH g AS (
+              SELECT user_id, ts, event_id,
+                     epoch_ms(ts) - lag(epoch_ms(ts)) OVER w AS gap_ms
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), m AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN gap_ms IS NULL OR gap_ms > 600000 THEN 1 ELSE 0 END AS new_sess
+              FROM g
+            ), s AS (
+              SELECT user_id,
+                     sum(new_sess) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS sess_id
+              FROM m
+            )
+            SELECT user_id, max(sess_id) AS n_sessions, count(*) AS n_events
+            FROM s GROUP BY user_id
+        """,
+        "t2_window_agg": """
+            SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS win_start,
+                   event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "c_schedule_kernel": f"""
+            SELECT host_bucket, rnk, o_orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d') AS order_date
+            FROM (
+              SELECT o_orderkey, o_orderdate,
+                     {bucket_sql("CAST(o_custkey AS VARCHAR)", 64)} AS host_bucket,
+                     row_number() OVER (
+                       PARTITION BY {bucket_sql("CAST(o_custkey AS VARCHAR)", 64)}
+                       ORDER BY o_orderdate, o_orderkey
+                     ) AS rnk
+              FROM orders
+            ) WHERE rnk <= 2
+        """,
+        "x_token_count": X.token_count_sql(),
+        "x_lang_id": X.lang_id_sql(),
+        "x_quality": X.quality_score_sql(),
+        "x_fingerprint": X.fingerprint_sql(),
+        "d_exact_dups": D.exact_dup_groups_sql(),
+        "d_minhash_sig": D.minhash_signatures_sql(),
+        "d_lsh_pairs": D.lsh_candidate_pairs_sql(),
+        "d_simhash": D.simhash_sql(),
+        "d_ngram_jaccard": D.ngram_jaccard_pairs_sql(),
+        "s_cosine_topk": S.cosine_topk_sql(),
+        "s_lsh_topk": S.lsh_bucketed_topk_sql(),
+    }

@@ -1,0 +1,107 @@
+"""Benchmark harness — one JSON line to stdout.
+
+Headline queries from ``__spark_entry__.queries()`` run at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` (default 32); ``value`` is their total
+wall seconds. Additionally (unless SPARK_GRAFT_SKIP_CRAWL=1) the crawl
+engine runs at local[8] and local[32] on the deterministic bench
+corpus, reporting frontier throughput at both levels and the N→4N
+scaling efficiency (north-rule evidence; see BENCH.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "a1_groupby_minmax",
+    "a3_rollup",
+    "a5_dedup_first_wins",
+    "j1_anti",
+    "j6_broadcast_lookup",
+    "o3_topk_per_group",
+    "w_running_sum",
+    "t1_sessionize",
+    "t2_window_agg",
+    "x_quality",
+    "x_lang_id",
+    "d_exact_dups",
+    "d_minhash_sig",
+    "d_simhash",
+    "s_cosine_topk",
+    "s_lsh_topk",
+]
+
+
+def run_queries(sf_dir: str, cpus: int) -> dict[str, float]:
+    import __spark_entry__ as E
+    from scraper_spark.session import get_spark
+
+    spark = get_spark(app_name="bench_queries", cores=cpus)
+    qs = E.queries()
+    # warmup: touch every table once so JVM/codegen startup isn't billed
+    # to the first query
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    out: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.monotonic()
+        df = qs[name](spark, sf_dir)
+        n = df.count()  # materialize the full result
+        out[name] = round(time.monotonic() - t0, 3)
+        _ = n
+    return out
+
+
+def run_crawl_scaling() -> dict:
+    from scraper_spark.benchmarks import ensure_fixture
+
+    fixture = ensure_fixture()
+    res = {}
+    for cores in (8, 32):
+        p = subprocess.run(
+            [sys.executable, "-m", "scraper_spark.benchmarks", "--cores", str(cores),
+             "--fixture", fixture],
+            capture_output=True, text=True, cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        line = [l for l in p.stdout.strip().splitlines() if l.startswith("{")][-1]
+        res[cores] = json.loads(line)
+    eff = res[32]["pages_per_sec"] / (4.0 * res[8]["pages_per_sec"])
+    return {
+        "pages_per_sec_local8": res[8]["pages_per_sec"],
+        "pages_per_sec_local32": res[32]["pages_per_sec"],
+        "rounds": res[32]["rounds"],
+        "pages": res[32]["pages"],
+        "scaling_efficiency_8_to_32": round(eff, 3),
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
+
+    queries = run_queries(sf_dir, cpus)
+    total = round(sum(queries.values()), 3)
+    result = {
+        "metric": "headline query wall time (sum) + frontier throughput",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+    }
+    if os.environ.get("SPARK_GRAFT_SKIP_CRAWL") != "1":
+        try:
+            result["crawl"] = run_crawl_scaling()
+        except Exception as ex:  # crawl bench failure shouldn't kill queries bench
+            result["crawl_error"] = f"{type(ex).__name__}: {ex}"
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

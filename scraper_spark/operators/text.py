@@ -1,0 +1,169 @@
+"""Text-analysis operators for training-data pipelines.
+
+Language-ID (stopword-hit heuristic), quality scoring, token counting,
+and document fingerprinting over the ``documents`` table — the
+text-payload analogs of the reference's per-row string munging
+(reference: handlers/haozu.py:92-118 tokenization/KV-lifting,
+utils/utility_commons.py:59-68 flatten — SURVEY §2.2).
+
+Every operator has BOTH a Spark DataFrame implementation (built-in
+``pyspark.sql.functions`` only — JVM-side, codegen-friendly; no Python
+in the hot path) and a DuckDB oracle SQL twin with identical
+semantics; the pairs are asserted equal by the driver's correctness
+gate. Floats are rounded before output so cross-engine summation
+order can't flip the value hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+TOKEN_SPLIT = r"\s+"
+
+# language → (Java regex, RE2/DuckDB regex) stopword-hit patterns.
+# Same alternation, engine-appropriate CJK escape.
+_LANG_PATTERNS = [
+    ("en", r"\b(the|and|of|to|in|is|was)\b", r"\b(the|and|of|to|in|is|was)\b"),
+    ("de", r"\b(der|die|und|das|nicht|ein|zu)\b", r"\b(der|die|und|das|nicht|ein|zu)\b"),
+    ("fr", r"\b(le|la|et|les|des|un|une)\b", r"\b(le|la|et|les|des|un|une)\b"),
+    ("es", r"\b(el|los|las|una|del|que|por)\b", r"\b(el|los|las|una|del|que|por)\b"),
+    ("zh", r"[一-鿿]", r"[\x{4e00}-\x{9fff}]"),
+]
+
+PUNCT = r"[.!?,;:]"
+
+
+def tokens_col(c: Column) -> Column:
+    """Non-empty whitespace tokens (JVM-side split+filter)."""
+    return F.filter(F.split(c, TOKEN_SPLIT), lambda x: x != F.lit(""))
+
+
+def tokens_sql(expr: str) -> str:
+    return f"list_filter(string_split_regex({expr}, '{TOKEN_SPLIT}'), x -> x <> '')"
+
+
+# -------------------------------------------------------------- token count
+def token_count(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id",
+        F.size(tokens_col(F.col("text"))).alias("n_tokens"),
+        F.length("text").alias("n_chars_seen"),
+    )
+
+
+def token_count_sql() -> str:
+    return f"""
+        SELECT doc_id,
+               len({tokens_sql('text')}) AS n_tokens,
+               length(text) AS n_chars_seen
+        FROM documents
+    """
+
+
+# -------------------------------------------------------------- language id
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Argmax of stopword-hit counts; ties resolve in _LANG_PATTERNS
+    order (first maximal wins) — pinned identically in the SQL twin."""
+    hit_cols = [
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(p_java), 0)).alias(f"hits_{lang}")
+        for lang, p_java, _ in _LANG_PATTERNS
+    ]
+    df = docs.select("doc_id", "lang", *hit_cols)
+    best = F.greatest(*[F.col(f"hits_{lang}") for lang, _, _ in _LANG_PATTERNS])
+    pred = F.lit("und")
+    for lang, _, _ in reversed(_LANG_PATTERNS):
+        pred = F.when(
+            (F.col(f"hits_{lang}") == best) & (best > 0), F.lit(lang)
+        ).otherwise(pred)
+    return df.select(
+        "doc_id",
+        F.col("lang").alias("true_lang"),
+        pred.alias("pred_lang"),
+        *[f"hits_{lang}" for lang, _, _ in _LANG_PATTERNS],
+    )
+
+
+def lang_id_sql() -> str:
+    hits = ",\n".join(
+        f"len(regexp_extract_all(text, '{p_re2}')) AS hits_{lang}"
+        for lang, _, p_re2 in _LANG_PATTERNS
+    )
+    langs = [lang for lang, _, _ in _LANG_PATTERNS]
+    best = f"greatest({', '.join('hits_' + l for l in langs)})"
+    case = "CASE " + " ".join(
+        f"WHEN hits_{l} = {best} AND {best} > 0 THEN '{l}'" for l in langs
+    ) + " ELSE 'und' END"
+    return f"""
+        WITH h AS (SELECT doc_id, lang, {hits} FROM documents)
+        SELECT doc_id, lang AS true_lang, {case} AS pred_lang,
+               {', '.join('hits_' + l for l in langs)}
+        FROM h
+    """
+
+
+# ------------------------------------------------------------ quality score
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Length/punctuation/token heuristics → [0,1] score. All built-in
+    expressions; formula mirrored digit-for-digit in SQL."""
+    toks = tokens_col(F.col("text"))
+    n_tok = F.size(toks)
+    n_char = F.length("text")
+    punct = F.size(F.regexp_extract_all(F.col("text"), F.lit(PUNCT), 0))
+    avg_tok = F.when(n_tok > 0, n_char.cast("double") / n_tok).otherwise(F.lit(0.0))
+    score = (
+        F.least(n_tok.cast("double") / F.lit(50.0), F.lit(1.0)) * 0.5
+        + F.when((avg_tok >= 3.0) & (avg_tok <= 12.0), F.lit(0.3)).otherwise(F.lit(0.0))
+        + F.least(punct.cast("double") / F.lit(5.0), F.lit(1.0)) * 0.2
+    )
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        punct.alias("n_punct"),
+        F.round(avg_tok, 4).alias("avg_token_len"),
+        F.round(score, 4).alias("quality"),
+    )
+
+
+def quality_score_sql() -> str:
+    toks = tokens_sql("text")
+    return f"""
+        WITH b AS (
+          SELECT doc_id,
+                 len({toks}) AS n_tok,
+                 length(text) AS n_char,
+                 len(regexp_extract_all(text, '{PUNCT}')) AS punct
+          FROM documents
+        )
+        SELECT doc_id,
+               n_tok AS n_tokens,
+               punct AS n_punct,
+               round(CASE WHEN n_tok > 0 THEN CAST(n_char AS DOUBLE)/n_tok ELSE 0.0 END, 4)
+                 AS avg_token_len,
+               round(
+                 least(CAST(n_tok AS DOUBLE)/50.0, 1.0) * 0.5
+                 + CASE WHEN (CASE WHEN n_tok > 0 THEN CAST(n_char AS DOUBLE)/n_tok ELSE 0.0 END)
+                            BETWEEN 3.0 AND 12.0 THEN 0.3 ELSE 0.0 END
+                 + least(CAST(punct AS DOUBLE)/5.0, 1.0) * 0.2, 4) AS quality
+        FROM b
+    """
+
+
+# ------------------------------------------------------------- fingerprint
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Normalization fingerprint: md5 over lowercased, whitespace-
+    collapsed text (content-hash row id — the engine's replacement for
+    the reference's NEWID() row ids, handlers/db.py:97-99, K2)."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("fp"),
+        F.substring(F.md5(norm), 1, 8).alias("fp_short"),
+    )
+
+
+def fingerprint_sql() -> str:
+    norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    return f"""
+        SELECT doc_id, md5({norm}) AS fp, substr(md5({norm}), 1, 8) AS fp_short
+        FROM documents
+    """

@@ -105,6 +105,7 @@ def generate(
     default_tokens: int = 2,
     hot_tokens: int = 1,
     max_attempts: int = 3,
+    image_rate: float = 1.0,
 ) -> dict:
     """Materialize page_store / image_captions / seeds parquet + politeness
     JSON under ``out_dir``. Returns summary counts."""
@@ -162,7 +163,7 @@ def generate(
             r = rng.random()
             status = 200 if r < 0.92 else (404 if r < 0.97 else 503)
             image_id = caption = None
-            if status == 200:
+            if status == 200 and rng.random() < image_rate:
                 img, w, h, fmt = _make_image(rng)
                 image_id = md5_hex(canon)
                 caption = _caption(rng)
