@@ -23,8 +23,12 @@ BENCH_FIXTURE = "/tmp/scraper_bench_fixtures"
 
 
 def ensure_fixture(path: str = BENCH_FIXTURE) -> str:
-    """Deterministic bench corpus (seed=42): 50 hosts, ~20k URLs, large
-    politeness budgets so rounds carry real work, 10% image payload."""
+    """Deterministic bench corpus (seed=42): 50 hosts, ~100k URLs,
+    full image payload (decode+phash is the dominant per-page work, as
+    in a real crawl), politeness budgets set high and the list-page
+    graph shallow (page_size 50, fanout 400) so the crawl is work-bound
+    in ~6 rounds instead of latency-bound in hundreds — throughput and
+    N→4N scaling are measured on real per-round work."""
     marker = os.path.join(path, "politeness.json")
     if not os.path.exists(marker):
         from scraper_spark.sources.fixtures import generate
@@ -32,15 +36,19 @@ def ensure_fixture(path: str = BENCH_FIXTURE) -> str:
         generate(
             path,
             n_hosts=50,
-            n_urls=20_000,
-            default_tokens=400,
-            hot_tokens=400,
-            image_rate=0.1,
+            n_urls=100_000,
+            default_tokens=20_000,
+            hot_tokens=20_000,
+            image_rate=1.0,
+            pagination_fanout=400,
+            page_size=50,
+            img_size=(64, 256),
         )
     return path
 
 
 def run_crawl(cores: int, fixture: str, work_dir: str, decode_images: bool = True) -> dict:
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "64g")  # 5 GB image shuffle
     from scraper_spark.session import get_spark
     from scraper_spark.plans.frontier import CrawlEngine
 

@@ -101,21 +101,22 @@ SCHEDULE_SALTS = 32  # phase-1 fan-out of the per-host top-k
 
 
 def with_global_seq(
-    df: DataFrame, bucket_col_name: str, order_cols: list[str], offset: int
+    df: DataFrame,
+    bucket_col_name: str,
+    order_cols: list[str],
+    offset: int,
+    bucket_counts: dict[int, int],
 ) -> DataFrame:
     """Total-order global ``seq`` without a single-partition window:
     row_number within each ``bucket`` partition + driver-side cumsum of
-    per-bucket counts (≤ N_HOST_BUCKETS rows collected), broadcast back.
-    Stays entirely JVM-side — no RDD round-trip, no global sort."""
+    per-bucket counts (precomputed — fused into the round's single
+    stats collect), broadcast back. Entirely JVM-side — no RDD
+    round-trip, no global sort."""
     spark = df.sparkSession
-    counts = sorted(
-        (r[0], r[1])
-        for r in df.groupBy(bucket_col_name).agg(F.count("*")).collect()
-    )
     offsets, acc = [], offset
-    for b, n in counts:
+    for b in sorted(bucket_counts):
         offsets.append((b, acc))
-        acc += n
+        acc += bucket_counts[b]
     if not offsets:
         return df.withColumn("seq", F.lit(0).cast("long")).limit(0)
     off_df = spark.createDataFrame(offsets, f"{bucket_col_name} int, _off long")
@@ -160,17 +161,21 @@ class CrawlEngine:
             "images": self.t_images,
         }
 
-        # politeness + robots dims (tiny → broadcast joins)
+        # politeness + robots dims (tiny → broadcast joins); robots
+        # pre-aggregated to (host, prefixes array) so the filter is one
+        # broadcast join + exists(), no distinct/anti-join shuffles
         tokens_rows = [(h, int(t)) for h, t in self.pol.host_tokens.items()]
         self.tokens_df = spark.createDataFrame(
             tokens_rows or [("__none__", 0)], "host string, tokens int"
         )
         robots_rows = [
-            (h, p) for h, ps in self.pol.robots_disallow.items() for p in ps
+            (h, list(ps)) for h, ps in self.pol.robots_disallow.items()
         ]
         self.robots_df = spark.createDataFrame(
-            robots_rows or [("__none__", "\x00")], "host string, prefix string"
+            robots_rows or [("__none__", ["\x00"])],
+            "host string, prefixes array<string>",
         )
+        self.parallelism = spark.sparkContext.defaultParallelism
 
         self._bloom_segments: dict[int, np.ndarray] = {}
         self._bloom_bc = None
@@ -264,31 +269,40 @@ class CrawlEngine:
         self._bloom_bc = self.spark.sparkContext.broadcast(self._bloom_segments)
 
     # ------------------------------------------------------------ stages
-    def _schedule(self, frontier: DataFrame) -> DataFrame:
-        """Robots filter + per-host budgeted top-k (two-phase, salted)."""
+    def _schedule(self, frontier: DataFrame, frontier_rows: int | None) -> DataFrame:
+        """Robots filter + per-host budgeted top-k.
+
+        Robots: one broadcast join + ``exists`` over the per-host prefix
+        array — no extra shuffle. Top-k: a salted two-phase window when
+        the frontier is large (bounds every window partition to
+        ``salts × budget`` rows on hot hosts); a single window when the
+        frontier is small (row count from parquet footers, free) — the
+        extra phase would be pure latency there."""
         pq = F.regexp_replace("canon_url", r"^[a-z][a-z0-9+.\-]*://[^/]*", "")
-        cand = frontier.withColumn("_pq", pq)
-        blocked = (
-            cand.join(F.broadcast(self.robots_df), "host")
-            .where(F.col("_pq").startswith(F.col("prefix")))
-            .select("canon_url")
-            .distinct()
+        cand = (
+            frontier.join(F.broadcast(self.robots_df), "host", "left")
+            .where(
+                F.col("prefixes").isNull()
+                | ~F.exists("prefixes", lambda p: pq.startswith(p))
+            )
+            .drop("prefixes")
         )
-        cand = cand.join(F.broadcast(blocked), "canon_url", "left_anti").drop("_pq")
         cand = cand.join(F.broadcast(self.tokens_df), "host", "left").withColumn(
             "tokens", F.coalesce("tokens", F.lit(self.pol.default_tokens))
         )
         order = [F.col("depth"), F.col("discovery_time"), F.col("canon_url")]
-        # phase 1: top-k inside (host, salt) — bounds every window partition
-        salt = F.pmod(F.xxhash64("canon_url"), F.lit(SCHEDULE_SALTS))
-        w1 = W.partitionBy("host", salt).orderBy(*order)
-        pre = cand.withColumn("_r", F.row_number().over(w1)).where(
-            F.col("_r") <= F.col("tokens")
-        )
-        # phase 2: exact top-k per host over the ≤ salts×tokens survivors
+        big = frontier_rows is None or frontier_rows > 200_000
+        if big:
+            # phase 1: top-k inside (host, salt) bounds window partitions
+            salt = F.pmod(F.xxhash64("canon_url"), F.lit(SCHEDULE_SALTS))
+            w1 = W.partitionBy("host", salt).orderBy(*order)
+            cand = cand.withColumn("_r", F.row_number().over(w1)).where(
+                F.col("_r") <= F.col("tokens")
+            )
+        # exact top-k per host
         w2 = W.partitionBy("host").orderBy(*order)
         return (
-            pre.withColumn("_r", F.row_number().over(w2))
+            cand.withColumn("_r", F.row_number().over(w2))
             .where(F.col("_r") <= F.col("tokens"))
             .drop("_r", "tokens")
         )
@@ -302,7 +316,12 @@ class CrawlEngine:
         store = self.spark.read.parquet(self.images_path).select(
             "image_id", "bytes", "fmt"
         )
-        joined = with_img.join(store, "image_id", "left")
+        # repartition before the decode UDF: the join output inherits few
+        # partitions (AQE-coalesced), which would serialize the Arrow
+        # decode stage onto 1-2 cores
+        joined = with_img.join(store, "image_id", "left").repartition(
+            self.parallelism, "image_id"
+        )
 
         def decode(batches):
             for pdf in batches:
@@ -373,12 +392,38 @@ class CrawlEngine:
         while rnd < start_round + max_rounds:
             t0 = time.monotonic()
             frontier = self.t_frontier.read(self.spark, schema=FRONTIER_SCHEMA)
-            scheduled = self._schedule(frontier)
+            frontier_rows = self.t_frontier.rows()
+            scheduled = self._schedule(frontier, frontier_rows)
+            # spread the fetch across all cores: the scheduling window's
+            # output is AQE-coalesced to few partitions; (host, url)
+            # repartition also co-locates per-host batches (politeness-
+            # friendly client sessions). Skip for tiny rounds — the
+            # shuffle would cost more than it parallelizes.
+            if frontier_rows > 1000:
+                scheduled = scheduled.repartition(
+                    self.parallelism, "host", "canon_url"
+                )
             fetched = fetch(scheduled, self.store_path).persist()
-            counts = {
-                r["status"]: r["n"]
-                for r in fetched.groupBy("status").agg(F.count("*").alias("n")).collect()
-            }
+            # ONE stats collect per round: status counts, exhausted count,
+            # and the per-bucket counts that seed the global-seq offsets
+            will_exhaust = (F.col("status") == STATUS_TRANSIENT) & (
+                F.col("attempt") + 1 >= self.pol.max_attempts
+            )
+            stats_rows = (
+                fetched.groupBy("host_bucket", "status", will_exhaust.alias("exh"))
+                .agg(F.count("*").alias("n"))
+                .collect()
+            )
+            counts: dict[int, int] = {}
+            bucket_counts: dict[int, int] = {}
+            n_exhausted = 0
+            for r in stats_rows:
+                counts[r["status"]] = counts.get(r["status"], 0) + r["n"]
+                bucket_counts[r["host_bucket"]] = (
+                    bucket_counts.get(r["host_bucket"], 0) + r["n"]
+                )
+                if r["exh"]:
+                    n_exhausted += r["n"]
             n_sched = sum(counts.values())
             if n_sched == 0:
                 fetched.unpersist()
@@ -398,6 +443,7 @@ class CrawlEngine:
                 "host_bucket",
                 ["depth", "discovery_time", "canon_url"],
                 seq,
+                bucket_counts,
             ).select([f.name for f in LOG_SCHEMA.fields])
             self.t_log.append(log)
             seq += n_sched
@@ -411,7 +457,7 @@ class CrawlEngine:
                 .dropDuplicates(["canon_url"])
             )
             self.t_seen.append(seen_delta)
-            if counts.get(STATUS_TRANSIENT, 0) > 0:
+            if n_exhausted > 0:
                 errors = fetched.where(is_transient & exhausted).select(
                     "canon_url", F.lit(rnd).cast("int").alias("round")
                 )

@@ -76,9 +76,10 @@ def _caption(rng: np.random.Generator) -> str:
     )
 
 
-def _make_image(rng: np.random.Generator) -> tuple[np.ndarray, int, int, str]:
-    w = int(rng.integers(32, 129))
-    h = int(rng.integers(32, 129))
+def _render_image(image_id: str, w: int, h: int) -> np.ndarray:
+    """Pixel content seeded from the image_id alone — deterministic
+    regardless of generation order/parallelism."""
+    rng = np.random.default_rng(int(md5_hex(image_id)[:8], 16))
     img = rng.integers(0, 256, (h, w, 3)).astype(np.float64)
     # low-pass the noise + stamp flat patches → realistic-ish, compressible
     for _ in range(2):
@@ -91,9 +92,29 @@ def _make_image(rng: np.random.Generator) -> tuple[np.ndarray, int, int, str]:
         ph = int(rng.integers(4, min(24, h - y0) + 1))
         pw = int(rng.integers(4, min(24, w - x0) + 1))
         img[y0 : y0 + ph, x0 : x0 + pw] = rng.integers(0, 256, 3)
-    img = np.clip(img, 0, 255).astype(np.uint8)
-    fmt = "png" if rng.random() < 0.5 else "jpg"
-    return img, w, h, fmt
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def _encode_job(job: tuple[str, int, int, str, str]) -> dict:
+    """Worker: render + encode + phash one image (process-pool safe)."""
+    image_id, w, h, fmt, caption = job
+    img = _render_image(image_id, w, h)
+    data = encode_image(img, fmt)
+    return dict(
+        image_id=image_id, bytes=data, w=w, h=h, fmt=fmt, caption=caption,
+        phash=phash64(decode_image(data)),
+    )
+
+
+def _reencode_job(job: tuple[str, bytes, str, int, int, str]) -> dict:
+    """Worker: near-duplicate = re-encode existing bytes in the other fmt."""
+    new_id, src_bytes, fmt, w, h, caption = job
+    img = decode_image(bytes(src_bytes))
+    data = encode_image(img, fmt)
+    return dict(
+        image_id=new_id, bytes=data, w=w, h=h, fmt=fmt, caption=caption,
+        phash=phash64(decode_image(data)),
+    )
 
 
 def generate(
@@ -106,6 +127,9 @@ def generate(
     hot_tokens: int = 1,
     max_attempts: int = 3,
     image_rate: float = 1.0,
+    pagination_fanout: int = 3,
+    page_size: int = LIST_PAGE_SIZE,
+    img_size: tuple[int, int] = (32, 128),
 ) -> dict:
     """Materialize page_store / image_captions / seeds parquet + politeness
     JSON under ``out_dir``. Returns summary counts."""
@@ -120,7 +144,7 @@ def generate(
     hosts = [f"h{i}.example" for i in range(n_hosts)]
 
     pages: list[dict] = []
-    images: list[dict] = []
+    image_jobs: list[tuple] = []
 
     def detail_url(i: int, k: int) -> str:
         return f"http://{hosts[i]}/d/{k}"
@@ -134,13 +158,15 @@ def generate(
 
     for i in range(n_hosts):
         nd = n_detail[i]
-        n_list = max(1, math.ceil(nd / LIST_PAGE_SIZE))
+        n_list = max(1, math.ceil(nd / page_size))
         for p in range(1, n_list + 1):
             canon = canonicalize_url(list_url(i, p))
-            ks = range((p - 1) * LIST_PAGE_SIZE, min(p * LIST_PAGE_SIZE, nd))
+            ks = range((p - 1) * page_size, min(p * page_size, nd))
             links = [_noisy_variant(detail_url(i, k), rng) for k in ks]
-            if p < n_list:
-                links.append(_noisy_variant(list_url(i, p + 1), rng))
+            # paginate forward with fanout (real list pages expose a
+            # "page 1..N" strip) — keeps BFS depth ~n_list/fanout
+            for nxt in range(p + 1, min(p + 1 + pagination_fanout, n_list + 1)):
+                links.append(_noisy_variant(list_url(i, nxt), rng))
             # ~10% of list pages carry one dangling link
             if rng.random() < 0.10:
                 links.append(f"http://{hosts[i]}/d/missing{int(rng.integers(0, 10**6))}")
@@ -164,14 +190,12 @@ def generate(
             status = 200 if r < 0.92 else (404 if r < 0.97 else 503)
             image_id = caption = None
             if status == 200 and rng.random() < image_rate:
-                img, w, h, fmt = _make_image(rng)
                 image_id = md5_hex(canon)
+                w = int(rng.integers(img_size[0], img_size[1] + 1))
+                h = int(rng.integers(img_size[0], img_size[1] + 1))
+                fmt = "png" if rng.random() < 0.5 else "jpg"
                 caption = _caption(rng)
-                data = encode_image(img, fmt)
-                images.append(
-                    dict(image_id=image_id, bytes=data, w=w, h=h, fmt=fmt,
-                         caption=caption, phash=phash64(decode_image(data)))
-                )
+                image_jobs.append((image_id, w, h, fmt, caption))
             pages.append(
                 dict(url=_noisy_variant(canon, rng), canon_url=canon,
                      host=hosts[i], kind="detail", struct_depth=2,
@@ -179,18 +203,30 @@ def generate(
                      status=status)
             )
 
+    # --- render/encode images (parallel; content keyed by image_id so
+    # worker scheduling cannot affect determinism) -----------------------
+    def _pmap(fn, jobs):
+        if len(jobs) > 400:
+            from concurrent.futures import ProcessPoolExecutor
+
+            with ProcessPoolExecutor(max_workers=min(32, os.cpu_count() or 8)) as ex:
+                return list(ex.map(fn, jobs, chunksize=32))
+        return [fn(j) for j in jobs]
+
+    images = _pmap(_encode_job, image_jobs)
+
     # --- near-duplicate images (~2%): re-encode an existing image -------
-    n_dup = max(1, int(len(images) * near_dup_rate))
-    for d in range(n_dup):
-        src = images[int(rng.integers(0, len(images)))]
-        img = decode_image(src["bytes"])
-        fmt = "jpg" if src["fmt"] == "png" else "png"
-        data = encode_image(img, fmt)
-        images.append(
-            dict(image_id=md5_hex(src["image_id"] + f"/dup{d}"),
-                 bytes=data, w=src["w"], h=src["h"], fmt=fmt,
-                 caption=src["caption"], phash=phash64(decode_image(data)))
-        )
+    dup_jobs = []
+    if images:
+        n_dup = max(1, int(len(images) * near_dup_rate))
+        for d in range(n_dup):
+            src = images[int(rng.integers(0, len(images)))]
+            fmt = "jpg" if src["fmt"] == "png" else "png"
+            dup_jobs.append(
+                (md5_hex(src["image_id"] + f"/dup{d}"), src["bytes"], fmt,
+                 src["w"], src["h"], src["caption"])
+            )
+    images.extend(_pmap(_reencode_job, dup_jobs))
 
     # --- seeds: ≥3 per of the 5 hottest hosts, 50 total -----------------
     seeds = []

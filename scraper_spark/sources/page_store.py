@@ -31,19 +31,28 @@ from scraper_spark.plans.spec import STATUS_MISSING, STATUS_OK, STATUS_TRANSIENT
 _STORE_CACHE: dict[str, dict] = {}
 
 
-def _load_store(path: str) -> dict:
-    store = _STORE_CACHE.get(path)
-    if store is None:
+class _ArrowStore:
+    """Index dict (url → row) over Arrow columns; cell values are
+    materialized per hit (``.as_py()``) instead of converting the whole
+    table to Python objects — keeps the per-worker cache at roughly the
+    Arrow data size even for 10^5+-row stores."""
+
+    def __init__(self, path: str):
         t = pq.read_table(
             path, columns=["canon_url", "status", "links", "image_id", "caption"]
-        )
-        d = t.to_pydict()
-        store = {
-            u: (s, l, i, c)
-            for u, s, l, i, c in zip(
-                d["canon_url"], d["status"], d["links"], d["image_id"], d["caption"]
-            )
-        }
+        ).combine_chunks()
+        self.status = t.column("status").chunk(0)
+        self.links = t.column("links").chunk(0)
+        self.image_id = t.column("image_id").chunk(0)
+        self.caption = t.column("caption").chunk(0)
+        urls = t.column("canon_url").chunk(0)
+        self.index = {urls[i].as_py(): i for i in range(len(urls))}
+
+
+def _load_store(path: str) -> "_ArrowStore":
+    store = _STORE_CACHE.get(path)
+    if store is None:
+        store = _ArrowStore(path)
         _STORE_CACHE[path] = store
     return store
 
@@ -60,15 +69,16 @@ class ParquetPageStoreClient:
         links: list[list[str] | None] = []
         image_id: list[str | None] = []
         caption: list[str | None] = []
+        idx = store.index
         for i, (u, att) in enumerate(zip(urls, attempts)):
-            row = store.get(u)
-            if row is None:
+            j = idx.get(u)
+            if j is None:
                 status[i] = STATUS_MISSING
                 links.append(None)
                 image_id.append(None)
                 caption.append(None)
                 continue
-            s, l, im, cap = row
+            s = store.status[j].as_py()
             if s == STATUS_TRANSIENT and att == 0:
                 status[i] = STATUS_TRANSIENT
                 links.append(None)
@@ -76,9 +86,10 @@ class ParquetPageStoreClient:
                 caption.append(None)
                 continue
             status[i] = STATUS_OK if s == STATUS_TRANSIENT else s
-            links.append(list(l) if l is not None else None)
-            image_id.append(im)
-            caption.append(cap)
+            lv = store.links[j].as_py()
+            links.append(lv if lv is not None else None)
+            image_id.append(store.image_id[j].as_py())
+            caption.append(store.caption[j].as_py())
         return pd.DataFrame(
             {"status": status, "links": links, "image_id": image_id, "caption": caption}
         )

@@ -123,6 +123,19 @@ class TableIO:
             raise ValueError(f"table {self.root} is empty and no schema given")
         return spark.createDataFrame([], schema)
 
+    def rows(self, as_of: int | None = None) -> int:
+        """Row count from parquet footers — no Spark job (the Iceberg
+        analog reads manifest stats)."""
+        import pyarrow.parquet as pq
+
+        total = 0
+        for d in self._dirs_as_of(as_of):
+            for dirpath, _, files in os.walk(d):
+                for f in files:
+                    if f.endswith(".parquet"):
+                        total += pq.ParquetFile(os.path.join(dirpath, f)).metadata.num_rows
+        return total
+
     def rollback(self, snapshot_id: int) -> None:
         """Drop snapshots newer than ``snapshot_id`` (crash-resume path).
 

@@ -1,0 +1,120 @@
+"""Training-data operators: ground-truth recall checks that the SQL
+oracle can't express (planted near-duplicates, phash banding)."""
+
+import os
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from scraper_spark.functions.imagecodec import hamming64
+from scraper_spark.operators.phash_dedup import phash_near_dup_pairs
+
+
+@pytest.fixture(scope="module")
+def image_corpus(spark, fixture_dir):
+    path = os.path.join(fixture_dir, "image_captions.parquet")
+    return spark.read.parquet(path)
+
+
+def test_phash_band_join_finds_planted_near_dups(spark, image_corpus):
+    """The generator plants ~2% re-encoded copies (Hamming ≤ 4 by
+    construction for most); the band join must find every pair the
+    pigeonhole bound guarantees (hamming ≤ 3) and report correct
+    distances."""
+    pairs = phash_near_dup_pairs(image_corpus, max_hamming=4).toPandas()
+    pdf = image_corpus.select("image_id", "phash").toPandas()
+    ph = dict(zip(pdf.image_id, pdf.phash))
+    # brute-force ground truth
+    ids = sorted(ph)
+    truth = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if hamming64(ph[a], ph[b]) <= 3:
+                truth.add((a, b))
+    got3 = {
+        (r.id_a, r.id_b) for r in pairs.itertuples() if r.hamming <= 3
+    }
+    assert truth <= got3, f"missed guaranteed pairs: {truth - got3}"
+    for r in pairs.itertuples():
+        assert hamming64(ph[r.id_a], ph[r.id_b]) == r.hamming
+    assert len(pairs) > 0  # the plant actually produced collisions
+
+
+def test_exact_dups_keeper_is_min(spark):
+    from scraper_spark.operators.dedup import exact_dup_groups
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": ["same  Text", "same text", "other", "SAME TEXT"],
+            }
+        )
+    )
+    out = exact_dup_groups(df).toPandas()
+    grp = out[out.n_copies == 3]
+    assert len(grp) == 1 and grp.iloc[0].keeper_doc_id == 1
+
+
+def test_minhash_identical_docs_share_signature(spark):
+    from scraper_spark.operators.dedup import minhash_signatures
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": ["alpha beta gamma", "gamma beta alpha", "delta epsilon"],
+            }
+        )
+    )
+    sigs = minhash_signatures(df).toPandas().set_index("doc_id")
+    assert (sigs.loc[1] == sigs.loc[2]).all()  # same word set → same sig
+    assert not (sigs.loc[1] == sigs.loc[3]).all()
+
+
+def test_simhash_close_for_similar_docs(spark):
+    from scraper_spark.operators.dedup import simhash
+
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [base, base + " extra", "completely different words here"],
+            }
+        )
+    )
+    out = simhash(df).toPandas().set_index("doc_id")["simhash"]
+    near = bin(int(out[1]) ^ int(out[2])).count("1")
+    far = bin(int(out[1]) ^ int(out[3])).count("1")
+    assert near < far
+
+
+def test_cosine_topk_self_similarity(spark):
+    from scraper_spark.operators.similarity import cosine_topk
+
+    rows = [
+        (0, [1.0, 0.0, 0.0], 0),
+        (1, [0.9, 0.1, 0.0], 0),
+        (2, [0.0, 1.0, 0.0], 1),
+        (3, [-1.0, 0.0, 0.0], 1),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = cosine_topk(df, query_vec_id=0, k=3).toPandas()
+    assert list(out.vec_id) == [1, 2, 3]  # descending similarity
+    assert out.cosine.iloc[0] > 0.99
+
+
+def test_lsh_bucket_prunes(spark):
+    from scraper_spark.operators.similarity import lsh_bucketed_topk, sign_bucket_col
+
+    rows = [
+        (0, [1.0] * 8, 0),
+        (1, [1.0] * 8, 0),          # same bucket
+        (2, [-1.0] * 8, 1),         # different bucket → pruned
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = lsh_bucketed_topk(df, query_vec_id=0, k=10).toPandas()
+    assert list(out.vec_id) == [1]

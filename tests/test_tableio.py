@@ -1,0 +1,56 @@
+"""TableIO snapshot semantics: atomic append/overwrite, time travel,
+rollback, footer row counts."""
+
+import pandas as pd
+
+from scraper_spark.sources.tableio import TableIO
+
+
+def _df(spark, vals):
+    return spark.createDataFrame(pd.DataFrame({"x": vals}))
+
+
+def test_append_and_read(spark, tmp_path):
+    t = TableIO(str(tmp_path / "t1"))
+    assert not t.exists()
+    s1 = t.append(_df(spark, [1, 2]))
+    s2 = t.append(_df(spark, [3]))
+    assert (s1, s2) == (1, 2)
+    assert sorted(r.x for r in t.read(spark).collect()) == [1, 2, 3]
+    assert t.rows() == 3
+
+
+def test_overwrite_resets(spark, tmp_path):
+    t = TableIO(str(tmp_path / "t2"))
+    t.append(_df(spark, [1, 2]))
+    t.overwrite(_df(spark, [9]))
+    assert [r.x for r in t.read(spark).collect()] == [9]
+    t.append(_df(spark, [10]))
+    assert sorted(r.x for r in t.read(spark).collect()) == [9, 10]
+
+
+def test_time_travel(spark, tmp_path):
+    t = TableIO(str(tmp_path / "t3"))
+    s1 = t.append(_df(spark, [1]))
+    t.append(_df(spark, [2]))
+    assert [r.x for r in t.read(spark, as_of=s1).collect()] == [1]
+
+
+def test_rollback(spark, tmp_path):
+    t = TableIO(str(tmp_path / "t4"))
+    s1 = t.append(_df(spark, [1]))
+    t.append(_df(spark, [2]))
+    t.rollback(s1)
+    assert [r.x for r in t.read(spark).collect()] == [1]
+    assert t.current_snapshot_id() == s1
+
+
+def test_empty_read_with_schema(spark, tmp_path):
+    import pytest
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    t = TableIO(str(tmp_path / "t6"))
+    df = t.read(spark, schema=StructType([StructField("x", LongType())]))
+    assert df.count() == 0
+    with pytest.raises(ValueError):
+        TableIO(str(tmp_path / "t7")).read(spark)
