@@ -138,25 +138,36 @@ class CrawlEngine:
         work_dir: str,
         use_bloom: bool = True,
         decode_images: bool = True,
+        store_image_bytes: bool = True,
+        bloom_min_rows: int = 500_000,
     ):
         self.spark = spark
         self.fixture_dir = fixture_dir
         self.work_dir = work_dir
         self.use_bloom = use_bloom
         self.decode_images = decode_images
+        # at 100 TB the payload table stores bytes BY REFERENCE (the
+        # source store/object store keeps them); duplicating binary into
+        # the output table doubles the write path. Tests keep True to
+        # exercise the binary sink; the bench measures the reference mode.
+        self.store_image_bytes = store_image_bytes
+        # Bloom is a prefilter for a HUGE seen set; below this many seen
+        # URLs the exact anti-join is already trivial and the per-round
+        # segment build is pure latency. Tests pass 0 to force the
+        # Bloom path; correctness is identical either way (property:
+        # test_no_bloom_same_result).
+        self.bloom_min_rows = bloom_min_rows
         self.pol = PolitenessConfig.load(os.path.join(fixture_dir, "politeness.json"))
         self.store_path = os.path.join(fixture_dir, "page_store.parquet")
         self.images_path = os.path.join(fixture_dir, "image_captions.parquet")
 
         self.t_frontier = TableIO(os.path.join(work_dir, "frontier"))
         self.t_log = TableIO(os.path.join(work_dir, "crawl_log"))
-        self.t_seen = TableIO(os.path.join(work_dir, "url_seen"))
         self.t_errors = TableIO(os.path.join(work_dir, "fetch_errors"))
         self.t_images = TableIO(os.path.join(work_dir, "images"))
         self._tables = {
             "frontier": self.t_frontier,
             "crawl_log": self.t_log,
-            "url_seen": self.t_seen,
             "fetch_errors": self.t_errors,
             "images": self.t_images,
         }
@@ -269,6 +280,21 @@ class CrawlEngine:
         self._bloom_bc = self.spark.sparkContext.broadcast(self._bloom_segments)
 
     # ------------------------------------------------------------ stages
+    def seen_df(self) -> DataFrame:
+        """The exact URL-seen set, DERIVED from the crawl log + error
+        table instead of materialized separately: seen = terminally
+        fetched (log status != 503) ∪ retry-exhausted (fetch_errors).
+        Parquet column pruning makes the derived read as cheap as a
+        dedicated table and saves one table write per round; at real
+        scale the same projection is an Iceberg metadata-pruned scan."""
+        log = self.t_log.read(self.spark, schema=LOG_SCHEMA)
+        seen = log.where(F.col("status") != STATUS_TRANSIENT).select("canon_url")
+        if self.t_errors.current_snapshot_id():
+            seen = seen.unionByName(
+                self.t_errors.read(self.spark).select("canon_url")
+            )
+        return seen
+
     def _schedule(self, frontier: DataFrame, frontier_rows: int | None) -> DataFrame:
         """Robots filter + per-host budgeted top-k.
 
@@ -307,21 +333,48 @@ class CrawlEngine:
             .drop("_r", "tokens")
         )
 
-    def _images_stage(self, fetched: DataFrame, rnd: int) -> DataFrame:
+    def _images_stage(
+        self, fetched: DataFrame, rnd: int, pbuckets: set[int] | None = None
+    ) -> DataFrame:
         """Payload pipeline: fetched detail rows → image bytes → decode →
-        phash/dims, Arrow-batched (SURVEY §2.10 I4/I6)."""
+        phash/dims, Arrow-batched (SURVEY §2.10 I4/I6).
+
+        The round's fetched rows are the small side — broadcast them
+        explicitly (post-UDF stats are unknown, so Catalyst would
+        otherwise sort-merge — i.e. SORT the whole multi-GB store every
+        round). ``pbuckets`` (from the round's fused stats collect)
+        statically prunes the hive-partitioned store to the touched
+        buckets; sparse rounds read a handful of files."""
+        from scraper_spark.functions.hashes import bucket_col as _bucket
+        from scraper_spark.sources.fixtures import N_IMAGE_BUCKETS
+
         with_img = fetched.where(
             (F.col("status") == STATUS_OK) & F.col("image_id").isNotNull()
-        ).select("canon_url", "image_id", "caption")
+        ).select(
+            "canon_url",
+            "image_id",
+            "caption",
+            _bucket(F.col("image_id"), N_IMAGE_BUCKETS).cast("int").alias("pbucket"),
+        )
         store = self.spark.read.parquet(self.images_path).select(
-            "image_id", "bytes", "fmt"
+            "image_id", "bytes", "fmt", F.col("pbucket").cast("int").alias("pbucket")
         )
-        # repartition before the decode UDF: the join output inherits few
-        # partitions (AQE-coalesced), which would serialize the Arrow
-        # decode stage onto 1-2 cores
-        joined = with_img.join(store, "image_id", "left").repartition(
-            self.parallelism, "image_id"
-        )
+        pruned = pbuckets is not None and len(pbuckets) < N_IMAGE_BUCKETS
+        if pruned:
+            store = store.where(F.col("pbucket").isin(sorted(pbuckets)))
+        # inner join is exact here: the store holds every fetched
+        # image_id by construction (fetch returned it from the same
+        # corpus); broadcast the per-round side
+        joined = store.join(F.broadcast(with_img), ["pbucket", "image_id"], "inner")
+        # on heavily-pruned rounds the scan yields few partitions, which
+        # would serialize the Arrow decode onto a couple of cores →
+        # repartition (cheap: little data). On full-scan rounds the scan
+        # partitioning already covers the cores — repartitioning there
+        # would shuffle every image byte through disk for nothing.
+        if pruned and len(pbuckets) < self.parallelism:
+            joined = joined.repartition(self.parallelism, "image_id")
+
+        keep_bytes = self.store_image_bytes
 
         def decode(batches):
             for pdf in batches:
@@ -340,7 +393,7 @@ class CrawlEngine:
                 yield pd.DataFrame(
                     {
                         "image_id": pdf["image_id"],
-                        "bytes": pdf["bytes"],
+                        "bytes": pdf["bytes"] if keep_bytes else None,
                         "w": pd.array(ws, dtype="Int32"),
                         "h": pd.array(hs, dtype="Int32"),
                         "fmt": pdf["fmt"],
@@ -357,8 +410,8 @@ class CrawlEngine:
         """links − known-frontier − url_seen (Bloom prefilter on the big
         anti-join; exactness always from the left_anti)."""
         fresh = links.join(known.select("canon_url"), "canon_url", "left_anti")
-        seen_tbl = self.t_seen.read(self.spark, schema=SEEN_SCHEMA)
-        if not self.use_bloom:
+        seen_tbl = self.seen_df()
+        if not (self.use_bloom and self._bloom_segments):
             return fresh.join(seen_tbl, "canon_url", "left_anti")
         bc = self._bloom_bc
 
@@ -391,6 +444,14 @@ class CrawlEngine:
         rnd = start_round
         while rnd < start_round + max_rounds:
             t0 = time.monotonic()
+            phases: dict[str, float] = {}
+            _pt = [t0]
+
+            def _mark(name: str) -> None:
+                now = time.monotonic()
+                phases[name] = round(now - _pt[0], 2)
+                _pt[0] = now
+
             frontier = self.t_frontier.read(self.spark, schema=FRONTIER_SCHEMA)
             frontier_rows = self.t_frontier.rows()
             scheduled = self._schedule(frontier, frontier_rows)
@@ -409,22 +470,33 @@ class CrawlEngine:
             will_exhaust = (F.col("status") == STATUS_TRANSIENT) & (
                 F.col("attempt") + 1 >= self.pol.max_attempts
             )
+            from scraper_spark.functions.hashes import bucket_col as _bucket
+            from scraper_spark.sources.fixtures import N_IMAGE_BUCKETS
+
             stats_rows = (
                 fetched.groupBy("host_bucket", "status", will_exhaust.alias("exh"))
-                .agg(F.count("*").alias("n"))
+                .agg(
+                    F.count("*").alias("n"),
+                    F.collect_set(
+                        _bucket(F.col("image_id"), N_IMAGE_BUCKETS).cast("int")
+                    ).alias("pb"),
+                )
                 .collect()
             )
             counts: dict[int, int] = {}
             bucket_counts: dict[int, int] = {}
+            pbuckets: set[int] = set()
             n_exhausted = 0
             for r in stats_rows:
                 counts[r["status"]] = counts.get(r["status"], 0) + r["n"]
                 bucket_counts[r["host_bucket"]] = (
                     bucket_counts.get(r["host_bucket"], 0) + r["n"]
                 )
+                pbuckets.update(r["pb"])
                 if r["exh"]:
                     n_exhausted += r["n"]
             n_sched = sum(counts.values())
+            _mark("fetch_stats")
             if n_sched == 0:
                 fetched.unpersist()
                 break
@@ -447,25 +519,34 @@ class CrawlEngine:
             ).select([f.name for f in LOG_SCHEMA.fields])
             self.t_log.append(log)
             seq += n_sched
+            _mark("log")
 
             # ---- seen/error bookkeeping -------------------------------
+            # url_seen is DERIVED from crawl_log + fetch_errors (see
+            # seen_df) — no per-round table write
             is_transient = F.col("status") == STATUS_TRANSIENT
             exhausted = F.col("attempt") + 1 >= self.pol.max_attempts
-            seen_delta = (
-                fetched.where(~is_transient | exhausted)
-                .select("canon_url")
-                .dropDuplicates(["canon_url"])
-            )
-            self.t_seen.append(seen_delta)
             if n_exhausted > 0:
                 errors = fetched.where(is_transient & exhausted).select(
                     "canon_url", F.lit(rnd).cast("int").alias("round")
                 )
                 self.t_errors.append(errors)
-            if self.use_bloom:
-                # distributed bit-build on the delta; ≤ N_SEGMENTS rows home
+            if self.use_bloom and (
+                self._bloom_segments or seq >= self.bloom_min_rows
+            ):
+                if not self._bloom_segments:
+                    # activation: one full build over the whole seen set
+                    # (amortized — happens once when crossing the
+                    # threshold, or on resume from an empty sidecar)
+                    src = self.seen_df()
+                else:
+                    # steady state: distributed bit-build on the round's
+                    # delta only (scheduled rows are unique by canon_url)
+                    src = fetched.where(~is_transient | exhausted).select(
+                        "canon_url"
+                    )
                 delta = bloom.merge_segment_frames(
-                    [bloom.build_segments(seen_delta).toPandas()]
+                    [bloom.build_segments(src).toPandas()]
                 )
                 for seg, bits in delta.items():
                     if seg in self._bloom_segments:
@@ -474,10 +555,12 @@ class CrawlEngine:
                         self._bloom_segments[seg] = bits
                 self._save_bloom()
                 self._refresh_bloom_bc()
+            _mark("seen_bloom")
 
             # ---- payload: images --------------------------------------
-            if self.decode_images and counts.get(STATUS_OK, 0) > 0:
-                self.t_images.append(self._images_stage(fetched, rnd))
+            if self.decode_images and counts.get(STATUS_OK, 0) > 0 and pbuckets:
+                self.t_images.append(self._images_stage(fetched, rnd, pbuckets))
+            _mark("images")
 
             # ---- frontier update: remove scheduled, retry transients --
             retry = (
@@ -499,10 +582,16 @@ class CrawlEngine:
             )
 
             # ---- parse/explode new links ------------------------------
+            links = fetched.where(
+                (F.col("status") == STATUS_OK) & F.col("links").isNotNull()
+            ).select("depth", F.explode("links").alias("link"))
+            if counts.get(STATUS_OK, 0) > 2000:
+                # canonicalization is the round's biggest Python stage;
+                # fetched's partitioning follows page counts, not link
+                # counts — rebalance so every core decodes URLs
+                links = links.repartition(self.parallelism)
             links = (
-                fetched.where((F.col("status") == STATUS_OK) & F.col("links").isNotNull())
-                .select("depth", F.explode("links").alias("link"))
-                .select(
+                links.select(
                     canonicalize_udf("link").alias("canon_url"),
                     (F.col("depth") + 1).alias("depth"),
                 )
@@ -525,6 +614,7 @@ class CrawlEngine:
                 .unionByName(fresh)
             )
             self.t_frontier.overwrite(new_frontier)
+            _mark("frontier")
 
             # ---- metrics (driver-side lineage JSONL; timings are not
             # order-observable, so the determinism ban doesn't apply) ----
@@ -540,6 +630,7 @@ class CrawlEngine:
                             "transient": counts.get(STATUS_TRANSIENT, 0),
                             "wall_ms": round(wall * 1000, 2),
                             "seq_end": seq,
+                            "phases": phases,
                         }
                     )
                     + "\n"
@@ -548,12 +639,6 @@ class CrawlEngine:
             for df_p in self._round_persists:
                 df_p.unpersist()
             self._round_persists.clear()
-            # compact url_seen every 16 rounds — bounds small-file sprawl
-            # (Iceberg analog: rewrite_data_files maintenance)
-            if (rnd + 1) % 16 == 0:
-                self.t_seen.overwrite(
-                    self.t_seen.read(self.spark, schema=SEEN_SCHEMA)
-                )
             self._commit_state(rnd + 1, seq)
             totals["fetched"] += n_sched
             totals["rounds"] += 1

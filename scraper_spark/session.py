@@ -23,13 +23,31 @@ def get_spark(
     cores: int | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    master: str | None = None,
 ) -> SparkSession:
     """Build (or fetch) the engine's SparkSession.
 
-    ``cores=None`` → ``local[*]``. On a real cluster the master comes
-    from spark-submit and this builder only contributes conf.
+    ``cores=None`` → ``local[*]``; pass ``master`` explicitly for
+    multi-JVM emulation (``local-cluster[N,C,M]`` — N separate executor
+    JVMs, the sandbox stand-in for N executors). On a real cluster the
+    master comes from spark-submit and this builder only contributes
+    conf.
     """
-    if cores is None:
+    # numpy/BLAS must be single-threaded inside Spark python workers:
+    # with W workers × default BLAS threads (= all cores) the tiny
+    # per-batch matmuls (DCT/phash) drown in thread contention — the
+    # classic anti-scaling bug for numpy-in-Spark
+    for var in (
+        "OMP_NUM_THREADS",
+        "OPENBLAS_NUM_THREADS",
+        "MKL_NUM_THREADS",
+        "NUMEXPR_NUM_THREADS",
+        "VECLIB_MAXIMUM_THREADS",
+    ):
+        os.environ.setdefault(var, "1")
+    if master is not None:
+        n = cores or (os.cpu_count() or 8)
+    elif cores is None:
         master = "local[*]"
         n = os.cpu_count() or 8
     else:
@@ -46,13 +64,28 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # keep Arrow batches bounded BY BYTES in binary-heavy stages: at
+        # 10k rows × ~60 KB image payloads a batch is ~0.5 GB and W
+        # concurrent workers evict the page cache (anti-scaling); 1024
+        # rows is still fully vectorized for string/hash stages
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
+        # smaller splits → binary-heavy scans parallelize across all
+        # cores even with few large files
+        .config("spark.sql.files.maxPartitionBytes", "33554432")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.python.worker.faulthandler.enabled", "true")
         .config("spark.sql.execution.pyspark.udf.faulthandler.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
     )
+    for var in (
+        "OMP_NUM_THREADS",
+        "OPENBLAS_NUM_THREADS",
+        "MKL_NUM_THREADS",
+        "NUMEXPR_NUM_THREADS",
+        "VECLIB_MAXIMUM_THREADS",
+    ):
+        b = b.config(f"spark.executorEnv.{var}", "1")
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()

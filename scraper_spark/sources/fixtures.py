@@ -117,6 +117,46 @@ def _reencode_job(job: tuple[str, bytes, str, int, int, str]) -> dict:
     )
 
 
+N_IMAGE_BUCKETS = 64
+
+
+def write_image_store(images_df: pd.DataFrame, path: str) -> None:
+    """Write the image+caption payload table hive-partitioned by
+    ``pbucket = md5_long(image_id) % 64`` (the Iceberg-analog of
+    ``PARTITIONED BY (bucket(64, image_id))``, SURVEY §2.1 K3).
+
+    The crawl's payload join carries the same derived bucket on its
+    small side, so dynamic partition pruning skips untouched files on
+    sparse rounds; bounded row groups keep full scans splittable."""
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+    import shutil
+
+    from scraper_spark.functions.hashes import md5_long
+
+    if images_df.empty:
+        images_df = images_df.reindex(
+            columns=["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
+        )
+    df = images_df.assign(
+        pbucket=[
+            md5_long(i) % N_IMAGE_BUCKETS for i in images_df["image_id"]
+        ]
+        if len(images_df)
+        else []
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    if os.path.exists(path):
+        os.remove(path)
+    papq.write_to_dataset(
+        pa.Table.from_pandas(df, preserve_index=False),
+        root_path=path,
+        partition_cols=["pbucket"],
+        max_rows_per_group=1_000,
+        min_rows_per_group=200,
+    )
+
+
 def generate(
     out_dir: str,
     n_hosts: int = 20,
@@ -252,8 +292,13 @@ def generate(
 
     pages_df = pd.DataFrame(pages)
     images_df = pd.DataFrame(images)
-    pages_df.to_parquet(os.path.join(out_dir, "page_store.parquet"), index=False)
-    images_df.to_parquet(os.path.join(out_dir, "image_captions.parquet"), index=False)
+    # bounded row groups: a single monolithic row group would make the
+    # image store unsplittable — one Spark task would scan all of it
+    pages_df.to_parquet(
+        os.path.join(out_dir, "page_store.parquet"), index=False,
+        row_group_size=20_000,
+    )
+    write_image_store(images_df, os.path.join(out_dir, "image_captions.parquet"))
     seeds_df.to_parquet(os.path.join(out_dir, "seeds.parquet"), index=False)
     with open(os.path.join(out_dir, "politeness.json"), "w") as f:
         json.dump(politeness, f, indent=1, sort_keys=True)

@@ -32,7 +32,9 @@ def _engine_log(eng, spark) -> pd.DataFrame:
 @pytest.fixture(scope="module")
 def crawl_pair(spark, fixture_dir, tmp_path_factory):
     work = str(tmp_path_factory.mktemp("crawl_work"))
-    eng = CrawlEngine(spark, fixture_dir, work)
+    # bloom_min_rows=0 forces the Bloom prefilter path even on the tiny
+    # test corpus (production default defers it to large seen sets)
+    eng = CrawlEngine(spark, fixture_dir, work, bloom_min_rows=0)
     totals = eng.run()
     ora = oracle_crawl(fixture_dir)
     return eng, ora, totals
@@ -48,7 +50,7 @@ def test_crawl_log_exact_match(spark, crawl_pair):
 
 def test_url_seen_exact_match(spark, crawl_pair):
     eng, ora, _ = crawl_pair
-    eseen = set(eng.t_seen.read(spark).toPandas()["canon_url"])
+    eseen = set(eng.seen_df().toPandas()["canon_url"])
     assert eseen == ora.seen
 
 
@@ -89,16 +91,16 @@ def test_resume_byte_identical(spark, fixture_dir, tmp_path_factory, crawl_pair)
     """Kill after a round-k commit, resume, require identical log+seen."""
     eng_full, _, totals = crawl_pair
     work2 = str(tmp_path_factory.mktemp("crawl_resume"))
-    eng = CrawlEngine(spark, fixture_dir, work2)
+    eng = CrawlEngine(spark, fixture_dir, work2, bloom_min_rows=0)
     k = max(1, totals["rounds"] // 3)
     eng.run(max_rounds=k)  # "killed" after k committed rounds
-    eng2 = CrawlEngine(spark, fixture_dir, work2)  # fresh process analog
+    eng2 = CrawlEngine(spark, fixture_dir, work2, bloom_min_rows=0)
     eng2.run()
     a = _engine_log(eng_full, spark)
     b = _engine_log(eng2, spark)
     pd.testing.assert_frame_equal(a, b)
-    sa = set(eng_full.t_seen.read(spark).toPandas()["canon_url"])
-    sb = set(eng2.t_seen.read(spark).toPandas()["canon_url"])
+    sa = set(eng_full.seen_df().toPandas()["canon_url"])
+    sb = set(eng2.seen_df().toPandas()["canon_url"])
     assert sa == sb
 
 

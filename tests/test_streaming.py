@@ -43,11 +43,14 @@ def test_tail_crawl_log_sees_all_rounds(spark, crawl_work):
         q.stop()
 
 
-def test_windowed_event_metrics_matches_batch(spark):
+def test_windowed_event_metrics_matches_batch(spark, tmp_path):
+    import shutil
+
+    src_dir = tmp_path / "events_stream"
+    src_dir.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", src_dir / "events.parquet")
     schema = spark.read.parquet(f"{SF_DIR}/events.parquet").schema
-    streamed = spark.readStream.schema(schema).parquet(
-        f"{SF_DIR}/events.parquet"
-    )
+    streamed = spark.readStream.schema(schema).parquet(str(src_dir))
     agg = ST.windowed_event_metrics(streamed)
     q = ST.run_to_memory(agg, "win_metrics", output_mode="append")
     try:
