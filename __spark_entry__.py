@@ -309,6 +309,15 @@ def q_p12_truncate_nullify(spark, sf):
     )
 
 
+def q_p3_json_flatten(spark, sf):
+    # P3 (utility_commons.py:59-68): nested-JSON flatten → typed columns
+    return _t(spark, sf, "events").select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+        (F.get_json_object("props", "$.k").cast("int") * 2).alias("k2"),
+    )
+
+
 def q_o3_topk_per_group(spark, sf):
     # O3 (scrapers.py:84-92): budgeted top-k per group — the scheduler kernel
     w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
@@ -491,6 +500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p7_split": q_p7_split,
         "p8_regex_scrub": q_p8_regex_scrub,
         "p12_truncate_nullify": q_p12_truncate_nullify,
+        "p3_json_flatten": q_p3_json_flatten,
         "o3_topk_per_group": q_o3_topk_per_group,
         "w_running_sum": q_w_running_sum,
         "f4_contains": q_f4_contains,
@@ -648,6 +658,12 @@ def oracle_sql() -> dict[str, str]:
                      AS text_nullified,
                    length(substr(text, 1, 255)) AS capped_len
             FROM documents
+        """,
+        "p3_json_flatten": """
+            SELECT event_id,
+                   CAST(json_extract_string(props, '$.k') AS INT) AS k,
+                   CAST(json_extract_string(props, '$.k') AS INT) * 2 AS k2
+            FROM events
         """,
         "o3_topk_per_group": """
             SELECT o_custkey, o_orderkey, rnk, round(o_totalprice, 2) AS price

@@ -109,14 +109,17 @@ def run_crawl(cores: int, fixture: str, work_dir: str, decode_images: bool = Tru
     t0 = time.monotonic()
     totals = eng.run()
     wall = time.monotonic() - t0
-    # steady-state = the largest round: at 10^10-URL scale (thousands of
-    # rounds) startup/drain rounds amortize to nothing; in a 6-round
-    # sandbox crawl they are a fixed-cost artifact, so report both.
-    steady = {"pages": 0, "wall_ms": 1.0}
+    # steady-state = the fully work-bound rounds (≥20k pages): at
+    # 10^10-URL scale (thousands of such rounds) the small startup /
+    # politeness-drain rounds amortize to nothing; in a 6-round sandbox
+    # crawl they are a fixed-latency artifact, so report both.
+    sp, sw = 0, 0.0
     for line in open(os.path.join(work_dir, "metrics.jsonl")):
         m = json.loads(line)
-        if m["scheduled"] > steady["pages"]:
-            steady = {"pages": m["scheduled"], "wall_ms": m["wall_ms"]}
+        if m["scheduled"] >= 20_000:
+            sp += m["scheduled"]
+            sw += m["wall_ms"]
+    steady = {"pages": sp, "wall_ms": max(sw, 1.0)}
     return {
         "cores": cores,
         "pages": totals["fetched"],
