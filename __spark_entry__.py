@@ -483,6 +483,21 @@ def q_s_lsh_topk(spark, sf):
     return S.lsh_bucketed_topk(_t(spark, sf, "embeddings"))
 
 
+def q_s_neardup_pairs(spark, sf):
+    return S.neardup_pairs(_t(spark, sf, "embeddings"))
+
+
+def q_u3_intersect(spark, sf):
+    # U3 (db.py:40,330-331): set intersection
+    cust_n = _t(spark, sf, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    ).distinct()
+    supp_n = _t(spark, sf, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    ).distinct()
+    return cust_n.intersect(supp_n)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "a1_groupby_minmax": q_a1_groupby_minmax,
@@ -524,6 +539,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_ngram_jaccard": q_d_ngram_jaccard,
         "s_cosine_topk": q_s_cosine_topk,
         "s_lsh_topk": q_s_lsh_topk,
+        "s_neardup_pairs": q_s_neardup_pairs,
+        "u3_intersect": q_u3_intersect,
     }
 
 
@@ -752,4 +769,10 @@ def oracle_sql() -> dict[str, str]:
         "d_ngram_jaccard": D.ngram_jaccard_pairs_sql(),
         "s_cosine_topk": S.cosine_topk_sql(),
         "s_lsh_topk": S.lsh_bucketed_topk_sql(),
+        "s_neardup_pairs": S.neardup_pairs_sql(),
+        "u3_intersect": """
+            SELECT DISTINCT c_nationkey AS nationkey FROM customer
+            INTERSECT
+            SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+        """,
     }

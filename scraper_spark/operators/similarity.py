@@ -137,6 +137,60 @@ def lsh_bucketed_topk(
     return scored.orderBy(F.col("cosine").desc(), F.col("vec_id")).limit(k)
 
 
+def neardup_pairs(embeddings: DataFrame, threshold: float = 0.2) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, bucket-pruned: only pairs
+    sharing the sign-LSH bucket are scored (the O(n²) cross join
+    becomes a per-bucket self-join — at 10^9 vectors with B sign bits
+    the candidate set shrinks ~2^B-fold; raise B for density)."""
+    with_b = embeddings.select(
+        "vec_id",
+        "embedding",
+        sign_bucket_col(F.col("embedding")).alias("bucket"),
+    )
+    a = with_b.alias("a")
+    b = with_b.alias("b")
+    cos = _dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        _norm(F.col("a.embedding")) * _norm(F.col("b.embedding"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cos, 4).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+def neardup_pairs_sql(threshold: float = 0.2) -> str:
+    dot = (
+        "list_aggregate(list_transform(range(1, len(a.embedding) + 1), "
+        "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), 'sum')"
+    )
+    norm_a = (
+        "sqrt(list_aggregate(list_transform(a.embedding, "
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))"
+    )
+    norm_b = (
+        "sqrt(list_aggregate(list_transform(b.embedding, "
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))"
+    )
+    ba = sign_bucket_sql("a.embedding")
+    bb = sign_bucket_sql("b.embedding")
+    return f"""
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round({dot} / ({norm_a} * {norm_b}), 4) AS cosine
+        FROM embeddings a JOIN embeddings b
+          ON {ba} = {bb} AND a.vec_id < b.vec_id
+        WHERE round({dot} / ({norm_a} * {norm_b}), 4) >= {threshold}
+    """
+
+
 def lsh_bucketed_topk_sql(query_vec_id: int = 0, k: int = 10) -> str:
     dot = (
         "list_aggregate(list_transform(range(1, len(e.embedding) + 1), "
