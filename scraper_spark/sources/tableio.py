@@ -136,6 +136,34 @@ class TableIO:
                         total += pq.ParquetFile(os.path.join(dirpath, f)).metadata.num_rows
         return total
 
+    # -- row-level DML (SURVEY §2.1 K4/K5, §2.11 T7) ----------------------
+    # Iceberg/Delta express these as row-level deletes + snapshot commit;
+    # on the parquet seam each is a copy-on-write overwrite of the new
+    # table state — same atomicity, same reader semantics, O(table) I/O
+    # (exactly what a non-merge-on-read Iceberg DELETE/UPDATE/MERGE costs).
+    def delete_where(self, spark: SparkSession, cond) -> int:
+        """DELETE FROM t WHERE cond (reference: handlers/db.py:160-169)."""
+        cur = self.read(spark)
+        return self.overwrite(cur.where(~cond))
+
+    def update_set(self, spark: SparkSession, cond, assignments: dict) -> int:
+        """UPDATE t SET col=expr WHERE cond (handlers/db.py:254-276)."""
+        from pyspark.sql import functions as F
+
+        cur = self.read(spark)
+        out = cur
+        for col, expr in assignments.items():
+            out = out.withColumn(col, F.when(cond, expr).otherwise(F.col(col)))
+        return self.overwrite(out)
+
+    def merge_upsert(self, spark: SparkSession, incoming: DataFrame, key: str) -> int:
+        """MERGE INTO t USING incoming ON key WHEN MATCHED UPDATE WHEN NOT
+        MATCHED INSERT — new rows replace stored duplicates, the
+        reference's sink-dedup semantics (handlers/db.py:38-54, T7)."""
+        cur = self.read(spark, schema=incoming.schema)
+        kept = cur.join(incoming.select(key), key, "left_anti")
+        return self.overwrite(kept.unionByName(incoming))
+
     def rollback(self, snapshot_id: int) -> None:
         """Drop snapshots newer than ``snapshot_id`` (crash-resume path).
 
