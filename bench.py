@@ -45,9 +45,14 @@ def run_queries(sf_dir: str, cpus: int) -> dict[str, float]:
 
     spark = get_spark(app_name="bench_queries", cores=cpus)
     qs = E.queries()
-    # warmup: touch every table once so JVM/codegen startup isn't billed
-    # to the first query
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    # warmup: one agg through whole-stage codegen so JVM/JIT startup
+    # isn't billed to the first query
+    (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .groupBy("l_returnflag")
+        .count()
+        .collect()
+    )
     out: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.monotonic()
