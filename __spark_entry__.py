@@ -77,12 +77,14 @@ def q_a1_groupby_minmax(spark, sf):
 
 
 def q_a2_collect_list(spark, sf):
-    # A2 (cn_postalcode.py:207-209): group-by collect-list (sorted for determinism)
+    # A2 (cn_postalcode.py:207-209): group-by collect-list (sorted for
+    # determinism; emitted as a joined scalar so the driver's value-hash
+    # — which can't hash raw Python lists — sees a plain string)
     return (
         _t(spark, sf, "documents")
         .groupBy("lang")
         .agg(
-            F.sort_array(F.collect_set("source")).alias("sources"),
+            F.array_join(F.sort_array(F.collect_set("source")), ",").alias("sources"),
             F.count("*").alias("n_docs"),
         )
     )
@@ -390,12 +392,12 @@ def q_f9_inequality(spark, sf):
 def q_t1_sessionize(spark, sf):
     # T-family (§2.11): sessionization = gap>600s cumsum (lag window)
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    # fractional-second epochs (cast to double) — unix_timestamp truncates
-    # to whole seconds and would disagree with the oracle's epoch_ms
-    # ts is TIMESTAMP_NTZ; session tz is pinned UTC so ntz→timestamp→double
-    # agrees with the oracle's naive-as-UTC epoch_ms
-    ep = F.col("ts").cast("timestamp").cast("double")
-    gap_ms = (ep - F.lag(ep).over(w)) * 1000
+    # integer-ms epochs on BOTH engines: ts is TIMESTAMP_NTZ; session tz
+    # is pinned UTC so ntz→timestamp→double→floor(ms) mirrors DuckDB's
+    # epoch_ms(ts) exactly (a fractional-μs double here would diverge on
+    # gaps falling inside (600000, 600001) ms)
+    ep_ms = F.floor(F.col("ts").cast("timestamp").cast("double") * 1000).cast("long")
+    gap_ms = ep_ms - F.lag(ep_ms).over(w)
     marked = _t(spark, sf, "events").withColumn(
         "new_sess", F.when(gap_ms.isNull() | (gap_ms > 600_000), 1).otherwise(0)
     )
@@ -403,7 +405,8 @@ def q_t1_sessionize(spark, sf):
         "sess_id", F.sum("new_sess").over(w.rowsBetween(W.unboundedPreceding, 0))
     )
     return sess.groupBy("user_id").agg(
-        F.max("sess_id").alias("n_sessions"), F.count("*").alias("n_events")
+        F.max("sess_id").cast("long").alias("n_sessions"),
+        F.count("*").alias("n_events"),
     )
 
 
@@ -556,7 +559,8 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem GROUP BY l_returnflag, l_linestatus
         """,
         "a2_collect_list": """
-            SELECT lang, list_sort(list(DISTINCT source)) AS sources,
+            SELECT lang,
+                   array_to_string(list_sort(list(DISTINCT source)), ',') AS sources,
                    count(*) AS n_docs
             FROM documents GROUP BY lang
         """,
@@ -737,7 +741,8 @@ def oracle_sql() -> dict[str, str]:
                      ) AS sess_id
               FROM m
             )
-            SELECT user_id, max(sess_id) AS n_sessions, count(*) AS n_events
+            SELECT user_id, CAST(max(sess_id) AS BIGINT) AS n_sessions,
+                   count(*) AS n_events
             FROM s GROUP BY user_id
         """,
         "t2_window_agg": """

@@ -19,17 +19,26 @@ from scraper_spark.session import get_spark  # noqa: E402
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
+def _cell(v):
+    """Canonical string for one cell, mirroring the driver's value-hash:
+    NO dtype coercion across engines — int64 57 and float64 57.0 must
+    stringify differently so type drift is caught locally, not by the
+    driver."""
+    if v is None or (isinstance(v, float) and np.isnan(v)):
+        return "∅"
+    if isinstance(v, (list, np.ndarray, tuple)):
+        return "[" + ",".join(_cell(x) for x in v) + "]"
+    if isinstance(v, (float, np.floating)):
+        return repr(round(float(v), 4))
+    if isinstance(v, (np.integer,)):
+        return repr(int(v))
+    return str(v)
+
+
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1).copy()
     for c in df.columns:
-        if df[c].dtype == object and len(df) and isinstance(
-            df[c].dropna().iloc[0] if df[c].notna().any() else None, (list, np.ndarray)
-        ):
-            df[c] = df[c].map(lambda v: tuple(v) if v is not None else None)
-        elif str(df[c].dtype).startswith("float"):
-            df[c] = df[c].round(4)
-        elif "datetime" in str(df[c].dtype):
-            df[c] = df[c].astype(str)
+        df[c] = df[c].map(_cell)
     key = df.columns.tolist()
     return df.sort_values(key, na_position="first").reset_index(drop=True)
 
@@ -68,11 +77,17 @@ def main(sf_dir: str = "/root/testdata/sf0.01", only: list[str] | None = None):
             print(f"FAIL {name}: rows {len(a)} vs {len(b)}")
             failures.append(name)
             continue
-        try:
-            pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=False, atol=1e-4)
+        if a.equals(b):
             print(f"OK   {name}: {len(a)} rows")
-        except AssertionError as ex:
-            print(f"FAIL {name}: values differ: {str(ex)[:300]}")
+        else:
+            neq = (a != b).any()
+            bad = [c for c in a.columns if neq.get(c, False)]
+            samp = ""
+            if bad:
+                c = bad[0]
+                i = (a[c] != b[c]).idxmax()
+                samp = f" e.g. {c}[{i}]: {a[c][i]!r} vs {b[c][i]!r}"
+            print(f"FAIL {name}: values differ in {bad}{samp}")
             failures.append(name)
     print(f"\n{len(qs) - len(failures)}/{len(qs)} pass")
     return failures
