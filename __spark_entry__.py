@@ -490,6 +490,229 @@ def q_s_neardup_pairs(spark, sf):
     return S.neardup_pairs(_t(spark, sf, "embeddings"))
 
 
+# ---- pytest-only families promoted to driver rows (VERDICT r01 §2) ---
+def q_g_geo_datum(spark, sf):
+    # Sc6 (utility_geocode.py:13-96): WGS-84→GCJ-02→BD-09 + approx
+    # inverse, vectorized pandas UDFs; oracle mirrors the trig series
+    # operation-for-operation in SQL (functions/geo.py)
+    from scraper_spark.functions import geo as G
+
+    src = _t(spark, sf, "customer").select(
+        "c_custkey",
+        (F.lit(60.0) + (F.col("c_custkey") % 9000) * F.lit(0.01)).alias("lon"),
+        (F.lit(-10.0) + (F.col("c_custkey") % 7000) * F.lit(0.01)).alias("lat"),
+    )
+    g = (
+        src.withColumn("g", G.wgs84_to_gcj02_udf("lon", "lat"))
+        .withColumn("bd", G.gcj02_to_bd09_udf(F.col("g.lon"), F.col("g.lat")))
+        .withColumn("bk", G.gcj02_to_wgs84_udf(F.col("g.lon"), F.col("g.lat")))
+    )
+    return g.select(
+        "c_custkey",
+        F.round("g.lon", 4).alias("gcj_lon"),
+        F.round("g.lat", 4).alias("gcj_lat"),
+        F.round("bd.lon", 4).alias("bd_lon"),
+        F.round("bd.lat", 4).alias("bd_lat"),
+        F.round("bk.lon", 4).alias("back_lon"),
+        F.round("bk.lat", 4).alias("back_lat"),
+    )
+
+
+def q_b_bloom_probe(spark, sf):
+    # A+ Bloom aggregate (plans/seen.py): distributed segment build +
+    # Arrow-batched probe; the oracle reproduces the md5 bit arithmetic
+    # relationally — false positives and all (probe_oracle_sql)
+    import pandas as pd
+
+    from scraper_spark.plans import seen as B
+
+    members = _t(spark, sf, "customer").select(
+        F.concat(F.lit("url:"), F.col("c_custkey").cast("string")).alias("canon_url")
+    )
+    segs = B.merge_segment_frames([B.build_segments(members).toPandas()])
+    bc = spark.sparkContext.broadcast(segs)
+    cands = (
+        _t(spark, sf, "orders")
+        .select(
+            F.concat(F.lit("url:"), (F.col("o_custkey") * 2).cast("string")).alias("s")
+        )
+        .distinct()
+    )
+
+    def mark(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            yield pd.DataFrame(
+                {"candidate": pdf["s"], "maybe": B.probe(pdf["s"], bc.value)}
+            )
+
+    return cands.mapInPandas(mark, "candidate string, maybe boolean")
+
+
+def q_i_phash_band_dedup(spark, sf):
+    # I6 banded Hamming join (operators/phash_dedup.py) on 60-bit
+    # md5-derived hashes + planted 1-bit variants; the oracle is the
+    # brute-force all-pairs ground truth — equality PROVES the banding
+    # complete for hamming ≤ 3 (pigeonhole bound)
+    from scraper_spark.functions.hashes import md5_long_col
+    from scraper_spark.operators.phash_dedup import phash_near_dup_pairs
+
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    base = _t(spark, sf, "documents").select(
+        F.col("doc_id").alias("id"), md5_long_col(norm).alias("ph"), "doc_id"
+    )
+    variant = base.select(
+        (F.col("id") + 1000000).alias("id"),
+        F.expr("ph ^ shiftleft(CAST(1 AS BIGINT), CAST(doc_id % 60 AS INT))").alias(
+            "ph"
+        ),
+    )
+    corpus = base.select("id", "ph").unionByName(variant)
+    return phash_near_dup_pairs(corpus, max_hamming=3, id_col="id", phash_col="ph")
+
+
+def q_k_dml_endstate(spark, sf):
+    # K4/K5/T7 (handlers/db.py:160-169, 254-276, 38-54): DELETE →
+    # UPDATE → MERGE on the TableIO snapshot seam; output = final table
+    # state, oracle = the same DML as plain relational algebra
+    import tempfile
+
+    from scraper_spark.sources.tableio import TableIO
+
+    base = _t(spark, sf, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    t = TableIO(os.path.join(tempfile.mkdtemp(prefix="sg_dml_"), "t"))
+    t.append(base)
+    t.delete_where(spark, F.col("c_acctbal") < 0)
+    t.update_set(
+        spark,
+        F.col("c_mktsegment") == "BUILDING",
+        {"c_acctbal": F.round(F.col("c_acctbal") * 2, 2)},
+    )
+    incoming = base.where(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        F.concat(F.lit("upserted_"), F.col("c_custkey").cast("string")).alias("c_name"),
+        F.lit(0.0).alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    t.merge_upsert(spark, incoming, "c_custkey")
+    return t.read(spark).select(
+        "c_custkey",
+        "c_name",
+        F.round("c_acctbal", 2).alias("c_acctbal"),
+        "c_mktsegment",
+    )
+
+
+def q_p11_attrs_map(spark, sf):
+    # P11 (haozu.py:107-118, diandianzu.py:110-112): open KV bag lifted
+    # into a MapType attrs column (map_from_entries) + element_at
+    # lookups — the dynamic-attribute operator SURVEY §1.2 promised
+    ev = _t(spark, sf, "events")
+    entries = F.array(
+        F.struct(
+            F.lit("k").alias("key"),
+            F.get_json_object("props", "$.k").alias("value"),
+        ),
+        F.struct(F.lit("type").alias("key"), F.col("event_type").alias("value")),
+    )
+    m = F.map_from_entries(entries)
+    return ev.select(
+        "event_id",
+        F.element_at(m, "k").alias("k_val"),
+        F.element_at(m, "type").alias("type_val"),
+        F.size(m).alias("n_attrs"),
+        F.array_join(F.sort_array(F.map_keys(m)), ",").alias("attr_keys"),
+    )
+
+
+def q_s3_paginated_enrich(spark, sf):
+    # S3 (default_api.py:59-114): page += 1 until short page, ref_*
+    # carry-through, explode_outer for empty results — the reusable
+    # operator (operators/enrich.py); the "API" is orders paged by 8
+    from scraper_spark.operators.enrich import enrich_paginated
+
+    orders = _t(spark, sf, "orders")
+    requests = _t(spark, sf, "customer").select(
+        F.col("c_custkey").alias("ref_custkey"),
+        F.col("c_mktsegment").alias("ref_segment"),
+    )
+    ps = 8
+
+    def fetch_page(active, page):
+        w = W.partitionBy("o_custkey").orderBy("o_orderkey")
+        ranked = orders.withColumn("rn", F.row_number().over(w))
+        pg = ranked.where(
+            (F.col("rn") > page * ps) & (F.col("rn") <= (page + 1) * ps)
+        )
+        return active.join(pg, active.ref_custkey == pg.o_custkey).select(
+            "ref_custkey",
+            "ref_segment",
+            "o_orderkey",
+            (F.col("rn") - page * ps).cast("int").alias("slot"),
+        )
+
+    return enrich_paginated(requests, fetch_page, "ref_custkey", ps, max_pages=10)
+
+
+def q_i_image_pipeline(spark, sf):
+    # I1-I4+I6 (pam_invoice.py:143-153, baidu_api.py:149-154): render a
+    # deterministic corpus keyed by doc_id, then crop → grayscale →
+    # binarize → re-encode (fused Arrow stages, image_ops) → decode +
+    # phash. Bytes can't cross into DuckDB → rows-only driver check;
+    # bit-exactness of the codec itself is pytest-gated (test_imagecodec)
+    import pandas as pd
+
+    from scraper_spark.functions.image_ops import (
+        binarize_images,
+        crop_images,
+        grayscale_images,
+    )
+    from scraper_spark.functions.imagecodec import decode_image, encode_image, phash64
+    from scraper_spark.sources.fixtures import _render_image
+
+    docs = _t(spark, sf, "documents").select("doc_id").where(F.col("doc_id") < 64)
+
+    def render(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            data = [
+                encode_image(_render_image(f"doc{int(d)}", 40, 40), "png")
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "bytes": data})
+
+    imgs = docs.mapInPandas(render, "doc_id long, bytes binary")
+    piped = binarize_images(grayscale_images(crop_images(imgs, (4, 4, 36, 36))))
+
+    def finish(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for d, b in zip(pdf["doc_id"], pdf["bytes"]):
+                img = decode_image(bytes(b))
+                rows.append(
+                    (
+                        int(d),
+                        int(img.shape[1]),
+                        int(img.shape[0]),
+                        phash64(img),
+                        int((img > 0).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "w", "h", "phash", "white_px"]
+            )
+
+    return piped.mapInPandas(
+        finish, "doc_id long, w int, h int, phash long, white_px long"
+    )
+
+
 def q_u3_intersect(spark, sf):
     # U3 (db.py:40,330-331): set intersection
     cust_n = _t(spark, sf, "customer").select(
@@ -544,6 +767,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_lsh_topk": q_s_lsh_topk,
         "s_neardup_pairs": q_s_neardup_pairs,
         "u3_intersect": q_u3_intersect,
+        "g_geo_datum": q_g_geo_datum,
+        "b_bloom_probe": q_b_bloom_probe,
+        "i_phash_band_dedup": q_i_phash_band_dedup,
+        "k_dml_endstate": q_k_dml_endstate,
+        "p11_attrs_map": q_p11_attrs_map,
+        "s3_paginated_enrich": q_s3_paginated_enrich,
+        "i_image_pipeline": q_i_image_pipeline,
     }
 
 
@@ -780,4 +1010,110 @@ def oracle_sql() -> dict[str, str]:
             INTERSECT
             SELECT DISTINCT s_nationkey AS nationkey FROM supplier
         """,
+        "g_geo_datum": _geo_oracle_sql(),
+        "b_bloom_probe": _bloom_oracle_sql(),
+        "i_phash_band_dedup": _phash_band_oracle_sql(),
+        "k_dml_endstate": """
+            WITH base AS (
+              SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
+            ),
+            d AS (SELECT * FROM base WHERE NOT (c_acctbal < 0)),
+            u AS (
+              SELECT c_custkey, c_name,
+                     CASE WHEN c_mktsegment = 'BUILDING'
+                          THEN round(c_acctbal * 2, 2) ELSE c_acctbal END
+                       AS c_acctbal,
+                     c_mktsegment
+              FROM d
+            ),
+            inc AS (
+              SELECT c_custkey,
+                     'upserted_' || CAST(c_custkey AS VARCHAR) AS c_name,
+                     CAST(0.0 AS DOUBLE) AS c_acctbal, c_mktsegment
+              FROM base WHERE c_custkey % 10 = 0
+            ),
+            m AS (
+              SELECT * FROM u
+              WHERE c_custkey NOT IN (SELECT c_custkey FROM inc)
+              UNION ALL SELECT * FROM inc
+            )
+            SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal,
+                   c_mktsegment
+            FROM m
+        """,
+        "p11_attrs_map": """
+            SELECT event_id,
+                   json_extract_string(props, '$.k') AS k_val,
+                   event_type AS type_val,
+                   2 AS n_attrs,
+                   'k,type' AS attr_keys
+            FROM events
+        """,
+        "s3_paginated_enrich": """
+            WITH ranked AS (
+              SELECT o_custkey, o_orderkey,
+                     row_number() OVER (
+                       PARTITION BY o_custkey ORDER BY o_orderkey
+                     ) AS rn
+              FROM orders
+            ),
+            pg AS (
+              SELECT o_custkey, o_orderkey,
+                     CAST(floor((rn - 1) / 8) AS INT) AS page,
+                     CAST(rn - floor((rn - 1) / 8) * 8 AS INT) AS slot
+              FROM ranked
+            )
+            SELECT c.c_custkey AS ref_custkey, c.c_mktsegment AS ref_segment,
+                   pg.o_orderkey, pg.slot, pg.page
+            FROM customer c LEFT JOIN pg ON pg.o_custkey = c.c_custkey
+        """,
+        # i_image_pipeline: intentionally absent — binary payloads can't
+        # cross into DuckDB; the driver records the rows-only check and
+        # test_imagecodec/test_image_ops carry the bit-exactness gate
     }
+
+
+def _geo_oracle_sql() -> str:
+    from scraper_spark.functions.geo import datum_chain_oracle_sql
+
+    src = """
+        SELECT c_custkey,
+               CAST(60.0 AS DOUBLE) + (c_custkey % 9000) * CAST(0.01 AS DOUBLE)
+                 AS lon,
+               CAST(-10.0 AS DOUBLE) + (c_custkey % 7000) * CAST(0.01 AS DOUBLE)
+                 AS lat
+        FROM customer
+    """
+    return datum_chain_oracle_sql(src, "c_custkey")
+
+
+def _bloom_oracle_sql() -> str:
+    from scraper_spark.plans.seen import probe_oracle_sql
+
+    return probe_oracle_sql(
+        "SELECT 'url:' || CAST(c_custkey AS VARCHAR) AS s FROM customer",
+        "SELECT DISTINCT 'url:' || CAST(o_custkey * 2 AS VARCHAR) AS s FROM orders",
+    )
+
+
+def _phash_band_oracle_sql() -> str:
+    from scraper_spark.functions.hashes import md5_long_sql
+
+    norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    return f"""
+        WITH base AS (
+          SELECT doc_id AS id, doc_id, {md5_long_sql(norm)} AS ph FROM documents
+        ),
+        var AS (
+          SELECT id + 1000000 AS id,
+                 xor(ph, CAST(1 AS BIGINT) << CAST(doc_id % 60 AS INT)) AS ph
+          FROM base
+        ),
+        corpus AS (
+          SELECT id, ph FROM base UNION ALL SELECT id, ph FROM var
+        )
+        SELECT a.id AS id_a, b.id AS id_b,
+               CAST(bit_count(xor(a.ph, b.ph)) AS INT) AS hamming
+        FROM corpus a JOIN corpus b ON a.id < b.id
+        WHERE bit_count(xor(a.ph, b.ph)) <= 3
+    """

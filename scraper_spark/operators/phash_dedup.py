@@ -27,15 +27,15 @@ def _band(col, i: int):
 
 def phash_near_dup_pairs(
     images: DataFrame,
-    max_hamming: int = 4,
+    max_hamming: int = N_BANDS - 1,
     id_col: str = "image_id",
     phash_col: str = "phash",
 ) -> DataFrame:
     """Pairs (id_a, id_b, hamming ≤ max_hamming), id_a < id_b.
 
-    Guaranteed complete for max_hamming ≤ N_BANDS - 1 (pigeonhole);
-    above that it is a high-recall approximation (documented LSH
-    trade-off)."""
+    Guaranteed complete for max_hamming ≤ N_BANDS - 1 (pigeonhole —
+    hence the default); above that it is a high-recall approximation
+    (documented LSH trade-off — raise N_BANDS for exactness)."""
     base = images.select(
         F.col(id_col).alias("id"), F.col(phash_col).alias("ph")
     ).dropDuplicates(["id"])

@@ -115,3 +115,40 @@ def probe(urls: pd.Series, segments: dict[int, np.ndarray]) -> np.ndarray:
 
 def bucket_from_long(h: int) -> int:
     return h % N_SEGMENTS
+
+
+def probe_oracle_sql(members_sql: str, candidates_sql: str) -> str:
+    """Relational mirror of the Bloom filter for the DuckDB oracle.
+
+    The filter is pure md5 arithmetic (Kirsch-Mitzenmacher double
+    hashing, hashes.py parity), so DuckDB can reproduce it EXACTLY —
+    including false positives: a candidate is "maybe seen" iff all
+    K_HASHES of its (seg, bit) positions appear in the set of positions
+    the member urls set. ``members_sql`` / ``candidates_sql`` must each
+    yield one column ``s``. Output: (candidate, maybe) — bit-identical
+    to build_segments + probe."""
+    from scraper_spark.functions.hashes import md5_long_sql
+
+    h = md5_long_sql("s")
+    bits = BITS_PER_SEGMENT
+    return f"""
+        WITH mem AS ({members_sql}),
+        cand AS ({candidates_sql}),
+        mh AS (SELECT {h} AS h FROM mem),
+        mpos AS (
+          SELECT DISTINCT (h % {N_SEGMENTS}) AS seg,
+                 ((h % {bits}) + i.range * (((h >> 20) | 1) & 2147483647))
+                   % {bits} AS pos
+          FROM mh CROSS JOIN range({K_HASHES}) i
+        ),
+        ch AS (SELECT s, {h} AS h FROM cand),
+        cpos AS (
+          SELECT s, (h % {N_SEGMENTS}) AS seg,
+                 ((h % {bits}) + i.range * (((h >> 20) | 1) & 2147483647))
+                   % {bits} AS pos
+          FROM ch CROSS JOIN range({K_HASHES}) i
+        )
+        SELECT c.s AS candidate, bool_and(m.pos IS NOT NULL) AS maybe
+        FROM cpos c LEFT JOIN mpos m ON c.seg = m.seg AND c.pos = m.pos
+        GROUP BY c.s
+    """

@@ -113,6 +113,31 @@ def test_no_bloom_same_result(spark, fixture_dir, tmp_path_factory, crawl_pair):
     pd.testing.assert_frame_equal(_engine_log(eng_full, spark), _engine_log(eng, spark))
 
 
+def test_retry_exhaustion_path(spark, tmp_path_factory):
+    """max_attempts=1 makes every 503 exhaust immediately, so the
+    fetch_errors table and the errors-union-seen derivation are
+    exercised non-vacuously (with the default max_attempts=3 the
+    transient model retries every 503 into success and the exhaustion
+    branch never fires — ADVICE r01)."""
+    from scraper_spark.sources.fixtures import generate
+
+    fx = str(tmp_path_factory.mktemp("exhaust_fx"))
+    generate(fx, n_hosts=4, n_urls=120, default_tokens=8, hot_tokens=4,
+             max_attempts=1)
+    work = str(tmp_path_factory.mktemp("exhaust_work"))
+    eng = CrawlEngine(spark, fx, work, decode_images=False, bloom_min_rows=0)
+    eng.run()
+    ora = oracle_crawl(fx)
+    assert len(ora.errors) > 0, "fixture produced no exhausted 503s"
+    eerr = set(eng.t_errors.read(spark).toPandas()["canon_url"])
+    assert eerr == set(ora.errors)
+    # exhausted urls are SEEN (never re-enqueued) on both sides
+    assert set(eng.seen_df().toPandas()["canon_url"]) == ora.seen
+    pd.testing.assert_frame_equal(
+        _engine_log(eng, spark), ora.log.astype(_engine_log(eng, spark).dtypes.to_dict())
+    )
+
+
 def test_hash_parity_python_spark_duckdb(spark):
     """md5-derived bucket/long identical across all three engines."""
     import duckdb

@@ -107,6 +107,38 @@ def test_cosine_topk_self_similarity(spark):
     assert out.cosine.iloc[0] > 0.99
 
 
+def test_enrich_paginated_loop_and_outer(spark):
+    """Page loop stops at the first short page; zero-result requests
+    emit one null-payload row (default_api.py:59-114 semantics)."""
+    from pyspark.sql import Window as W
+
+    from scraper_spark.operators.enrich import enrich_paginated
+
+    # req 1 → 0 items, req 2 → 2 items, req 3 → 3 (=page_size), req 4 → 7
+    items = [(k, i) for k, n in [(2, 2), (3, 3), (4, 7)] for i in range(n)]
+    lookup = spark.createDataFrame(items, "key int, item int")
+    requests = spark.createDataFrame([(1,), (2,), (3,), (4,)], "key int")
+    ps = 3
+
+    def fetch_page(active, page):
+        w = W.partitionBy("key").orderBy("item")
+        ranked = lookup.withColumn("rn", F.row_number().over(w))
+        pg = ranked.where(
+            (F.col("rn") > page * ps) & (F.col("rn") <= (page + 1) * ps)
+        )
+        return active.join(pg, "key").select("key", "item")
+
+    out = enrich_paginated(requests, fetch_page, "key", ps, max_pages=5).toPandas()
+    by_key = out.groupby("key")
+    assert len(out[out.key == 1]) == 1 and out[out.key == 1].item.isna().all()
+    assert sorted(by_key.get_group(2).item) == [0, 1]
+    assert sorted(by_key.get_group(3).item) == [0, 1, 2]
+    assert sorted(by_key.get_group(4).item) == list(range(7))
+    # page numbers: key 4's items 3..5 on page 1, item 6 on page 2
+    k4 = out[out.key == 4].set_index("item")
+    assert list(k4.loc[[0, 3, 6]].page) == [0, 1, 2]
+
+
 def test_lsh_bucket_prunes(spark):
     from scraper_spark.operators.similarity import lsh_bucketed_topk, sign_bucket_col
 
