@@ -483,11 +483,13 @@ def q_s_cosine_topk(spark, sf):
 
 
 def q_s_lsh_topk(spark, sf):
-    return S.lsh_bucketed_topk(_t(spark, sf, "embeddings"))
+    # n_bits pinned to 8 so the static SQL oracle mirrors the buckets;
+    # production derives B via similarity.auto_sign_bits(corpus, dim)
+    return S.lsh_bucketed_topk(_t(spark, sf, "embeddings"), n_bits=8)
 
 
 def q_s_neardup_pairs(spark, sf):
-    return S.neardup_pairs(_t(spark, sf, "embeddings"))
+    return S.neardup_pairs(_t(spark, sf, "embeddings"), n_bits=8)
 
 
 # ---- pytest-only families promoted to driver rows (VERDICT r01 §2) ---

@@ -57,9 +57,11 @@ def run_queries(sf_dir: str, cpus: int) -> dict[str, float]:
     for name in HEADLINE:
         t0 = time.monotonic()
         df = qs[name](spark, sf_dir)
-        n = df.count()  # materialize the full result
+        # noop sink: evaluates EVERY output column (count() would let
+        # Catalyst prune projection-only queries down to a bare scan
+        # and under-report their cost — ADVICE r01)
+        df.write.format("noop").mode("overwrite").save()
         out[name] = round(time.monotonic() - t0, 3)
-        _ = n
     return out
 
 

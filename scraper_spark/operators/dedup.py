@@ -7,13 +7,17 @@ detection too; these operators implement the standard family over the
 ``documents`` table, Spark-first:
 
 - exact: hash-groupBy (one shuffle, map-side partial agg),
-- MinHash: per-doc signatures from min-of-hash over the word set —
-  hashes are md5-based (functions/hashes.py) so the DuckDB oracle
-  reproduces them bit-for-bit,
-- LSH: band the signatures, equi-join on band key — candidate pairs
-  without the O(n²) cross join; at scale the band join is THE shuffle
-  and its key space (band_id, band_hash) is uniformly hash-distributed,
-- SimHash: 16-bit sign-vote fingerprint, groupable/banded the same way,
+- MinHash: 64-component per-doc signatures over the 3-word-shingle set
+  from an affine double-hash family (two md5s per shingle —
+  functions/hashes.py parity) so the DuckDB oracle reproduces them
+  bit-for-bit,
+- LSH: band the signatures (8 bands × 8 rows → collision threshold
+  ≈ 0.77), equi-join on band key, then VERIFY survivors against the
+  full signature and drop sub-threshold pairs — candidates without the
+  O(n²) cross join; at scale the band join is THE shuffle and its key
+  space (band_id, band_hash) is uniformly hash-distributed,
+- SimHash: 60-bit sign-vote fingerprint (widest md5-parity width),
+  groupable/banded the same way,
 - Jaccard estimate: fraction of agreeing minhash components per
   candidate pair (rather than re-tokenizing both docs — linear, not
   quadratic, in corpus size).
@@ -24,14 +28,21 @@ only wide operations are the groupBys and the self-join on band keys.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window as W, functions as F
 
-from scraper_spark.functions.hashes import md5_long_sql
+from scraper_spark.functions.hashes import md5_long_col, md5_long_sql
 from scraper_spark.operators.text import tokens_col, tokens_sql
 
-N_MINHASH = 8
-BAND_SIZE = 2  # 8 components → 4 bands of 2
-SIMHASH_BITS = 16
+# 64 permutations in bands of 8 → LSH threshold (1/b)^(1/r) =
+# (1/8)^(1/8) ≈ 0.77: only genuinely-near docs collide. (Round 1 ran
+# 8 hashes in bands of 2 — threshold 0.25 — which degenerated to 79 %
+# of ALL pairs on the sf0.01 corpus, i.e. a quadratic all-pairs join
+# in disguise. VERDICT r01.)
+N_MINHASH = 64
+BAND_SIZE = 8  # 64 components → 8 bands of 8
+MIN_JACCARD = 0.5  # verify stage: drop sub-threshold candidates
+SIMHASH_BITS = 60  # md5_long is 60-bit — the widest three-engine-parity width
+_H2_MASK = (1 << 50) - 1  # keeps h1 + 63*h2 < 2^61 — no int64 overflow
 
 
 # ---------------------------------------------------------------- exact ----
@@ -69,35 +80,93 @@ _WORDS_SQL = f"""
     FROM documents
 """
 
+SHINGLE_N = 3  # MinHash token unit: 3-word shingles, not single words —
+# a natural-language corpus has a small hot vocabulary, so WORD-set
+# Jaccard is near 1 for unrelated docs (the sf0.01 corpus: 31 distinct
+# words → 79 % of all pairs above 0.5); shingle sets scale with the
+# sequence, so only genuine near-dups collide.
+
+
+def _shingle_rows(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
+    toks = tokens_col(F.lower(F.col("text")))
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+    ).otherwise(F.array().cast("array<int>"))
+    return docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+        ).alias("word"),
+    ).distinct()
+
+
+_SHINGLES_SQL = f"""
+    SELECT DISTINCT doc_id,
+           array_to_string(toks[i : i + {SHINGLE_N} - 1], ' ') AS word
+    FROM (
+      SELECT doc_id, toks,
+             unnest(range(1, len(toks) - {SHINGLE_N} + 2)) AS i
+      FROM (SELECT doc_id, {tokens_sql('lower(text)')} AS toks FROM documents)
+      WHERE len(toks) >= {SHINGLE_N}
+    )
+"""
+
 
 def minhash_signatures(docs: DataFrame) -> DataFrame:
-    """8 md5-permutation minhashes per doc: mh_i = min(md5(i||'|'||word)).
+    """64 minhashes per doc from an affine double-hash family:
+    mh_i = min over words of (h1 + i·h2), h1 = md5_long(word),
+    h2 = (md5_long('β|'+word) & 2^50-1) | 1.
 
-    min() over hex strings is a valid minhash (lexicographic order on a
-    uniform hash) and is reproducible verbatim in any SQL engine.
+    Two md5s per shingle instead of 64 — the remaining 64 components
+    are JVM integer arithmetic inside one hash-aggregate (map-side
+    partial min), so widening the family costs ~nothing at 10^9 docs.
+    All arithmetic is exact int64 (h1 + 63·h2 < 2^61), hence
+    bit-identical in Python/Spark/DuckDB. The set being hashed is the
+    doc's 3-word shingle set (_shingle_rows).
     """
-    words = _word_rows(docs)
+    words = _shingle_rows(docs)
+    h = words.select(
+        "doc_id",
+        md5_long_col(F.col("word")).alias("h1"),
+        (
+            md5_long_col(F.concat(F.lit("β|"), F.col("word")))
+            .bitwiseAND(F.lit(_H2_MASK))
+            .bitwiseOR(F.lit(1))
+        ).alias("h2"),
+    )
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("word")))).alias(f"mh{i}")
+        F.min(F.col("h1") + F.lit(i) * F.col("h2")).alias(f"mh{i}")
         for i in range(N_MINHASH)
     ]
-    return words.groupBy("doc_id").agg(*aggs)
+    return h.groupBy("doc_id").agg(*aggs)
+
+
+_HASH_PAIR_SQL = f"""
+    SELECT doc_id, {md5_long_sql('word')} AS h1,
+           (({md5_long_sql("'β|' || word")} & {_H2_MASK}) | 1) AS h2
+    FROM w
+"""
 
 
 def minhash_signatures_sql() -> str:
     aggs = ", ".join(
-        f"min(md5('{i}|' || word)) AS mh{i}" for i in range(N_MINHASH)
+        f"min(h1 + {i} * h2) AS mh{i}" for i in range(N_MINHASH)
     )
-    return f"WITH w AS ({_WORDS_SQL}) SELECT doc_id, {aggs} FROM w GROUP BY doc_id"
+    return f"""
+        WITH w AS ({_SHINGLES_SQL}), h AS ({_HASH_PAIR_SQL})
+        SELECT doc_id, {aggs} FROM h GROUP BY doc_id
+    """
 
 
-def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
-    """Near-dup candidate pairs via banded minhash: docs sharing any
-    band collide; pairs deduped, estimated Jaccard = agreeing
-    components / 8. The band self-join replaces the O(n²) cross join —
-    at 10^9 docs the join key (band_id, band_hash) hash-distributes
-    evenly, so no skew mitigation is needed unless one text dominates
-    the corpus (then: salt the degenerate band key)."""
+def lsh_candidate_pairs(docs: DataFrame, min_jaccard: float = MIN_JACCARD) -> DataFrame:
+    """Near-dup pairs via banded minhash + verify: docs sharing any of
+    the 8 8-row bands collide (LSH threshold ≈ 0.77); survivors are
+    re-scored from the full 64-component signatures and pairs below
+    ``min_jaccard`` are dropped. The band self-join replaces the O(n²)
+    cross join — at 10^9 docs the join key (band_id, band_hash)
+    hash-distributes evenly, so no skew mitigation is needed unless one
+    text dominates the corpus (then: salt the degenerate band key, or
+    short-circuit exact dups through exact_dup_groups first)."""
     sig = minhash_signatures(docs)
     bands = sig.select(
         "doc_id",
@@ -148,10 +217,11 @@ def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
             "doc_b",
             F.round(agree / F.lit(float(N_MINHASH)), 4).alias("jaccard_est"),
         )
+        .where(F.col("jaccard_est") >= min_jaccard)
     )
 
 
-def lsh_candidate_pairs_sql() -> str:
+def lsh_candidate_pairs_sql(min_jaccard: float = MIN_JACCARD) -> str:
     n_bands = N_MINHASH // BAND_SIZE
     band_exprs = ", ".join(
         "md5("
@@ -166,11 +236,11 @@ def lsh_candidate_pairs_sql() -> str:
     agree = " + ".join(
         f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END" for i in range(N_MINHASH)
     )
+    mins = ", ".join(f"min(h1 + {i} * h2) AS mh{i}" for i in range(N_MINHASH))
     return f"""
-        WITH w AS ({_WORDS_SQL}),
-        sig AS (SELECT doc_id,
-                {', '.join(f"min(md5('{i}|' || word)) AS mh{i}" for i in range(N_MINHASH))}
-                FROM w GROUP BY doc_id),
+        WITH w AS ({_SHINGLES_SQL}),
+        h AS ({_HASH_PAIR_SQL}),
+        sig AS (SELECT doc_id, {mins} FROM h GROUP BY doc_id),
         bands AS (SELECT doc_id, {band_exprs} FROM sig),
         stacked AS ({stack}),
         pairs AS (
@@ -179,10 +249,13 @@ def lsh_candidate_pairs_sql() -> str:
             ON a.band_id = b.band_id AND a.band_hash = b.band_hash
            AND a.doc_id < b.doc_id
         )
-        SELECT p.doc_a, p.doc_b, round(({agree}) / {float(N_MINHASH)}, 4) AS jaccard_est
-        FROM pairs p
-        JOIN sig sa ON sa.doc_id = p.doc_a
-        JOIN sig sb ON sb.doc_id = p.doc_b
+        SELECT doc_a, doc_b, jaccard_est FROM (
+          SELECT p.doc_a, p.doc_b,
+                 round(({agree}) / {float(N_MINHASH)}, 4) AS jaccard_est
+          FROM pairs p
+          JOIN sig sa ON sa.doc_id = p.doc_a
+          JOIN sig sb ON sb.doc_id = p.doc_b
+        ) WHERE jaccard_est >= {min_jaccard}
     """
 
 
@@ -228,12 +301,21 @@ def simhash_sql() -> str:
 
 
 # --------------------------------------------------- n-gram Jaccard (exact) -
-def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.2) -> DataFrame:
+def ngram_jaccard_pairs(
+    docs: DataFrame, n: int = 3, threshold: float = 0.2, df_max: int = 10_000
+) -> DataFrame:
     """Exact Jaccard over word n-gram sets for pairs sharing ≥1 n-gram.
 
     |A∩B| comes from the n-gram equi-join (grouped count), |A∪B| =
     |A|+|B|−|A∩B| — no cross join anywhere; the n-gram join key is the
-    md5 of the n-gram, uniformly distributed."""
+    md5 of the n-gram, uniformly distributed.
+
+    ``df_max`` caps the document frequency of any join gram: a
+    boilerplate 3-gram shared by 10^7 docs would otherwise make a
+    10^14-row hot key in the self-join. Grams above the cap are dropped
+    from BOTH the intersection and the set sizes (so Jaccard stays a
+    true Jaccard — over the pruned gram universe), mirrored exactly in
+    the oracle. At corpus scale set df_max ≈ 10^-3 of the corpus."""
     toks = tokens_col(F.lower(F.col("text")))
     idx = F.when(
         F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
@@ -244,6 +326,12 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.2) -> 
             F.transform(idx, lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, n))))
         ).alias("gram"),
     ).distinct()
+    w_df = W.partitionBy("gram")
+    grams = (
+        grams.withColumn("_df", F.count("*").over(w_df))
+        .where(F.col("_df") <= df_max)
+        .drop("_df")
+    )
     sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
     inter = (
         grams.alias("a")
@@ -267,7 +355,9 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.2) -> 
     )
 
 
-def ngram_jaccard_pairs_sql(n: int = 3, threshold: float = 0.2) -> str:
+def ngram_jaccard_pairs_sql(
+    n: int = 3, threshold: float = 0.2, df_max: int = 10_000
+) -> str:
     toks = tokens_sql("lower(text)")
     return f"""
         WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
@@ -275,10 +365,16 @@ def ngram_jaccard_pairs_sql(n: int = 3, threshold: float = 0.2) -> str:
           SELECT doc_id, toks, unnest(range(1, len(toks) - {n} + 2)) AS i
           FROM t WHERE len(toks) >= {n}
         ),
-        g AS (
+        g0 AS (
           SELECT DISTINCT doc_id,
                  md5(array_to_string(toks[i : i + {n} - 1], ' ')) AS gram
           FROM ti
+        ),
+        g AS (
+          SELECT doc_id, gram FROM (
+            SELECT doc_id, gram, count(*) OVER (PARTITION BY gram) AS _df
+            FROM g0
+          ) WHERE _df <= {df_max}
         ),
         sizes AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id),
         inter AS (

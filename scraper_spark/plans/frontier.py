@@ -68,6 +68,17 @@ FRONTIER_SCHEMA = T.StructType(
     ]
 )
 
+# merge-on-read frontier: the stored table carries FRONTIER_SCHEMA plus
+# (op, delta_round); pending state is resolved at read time and the
+# table is compacted (partitioned overwrite) every COMPACT_EVERY deltas
+FRONTIER_DELTA_SCHEMA = T.StructType(
+    list(FRONTIER_SCHEMA.fields)
+    + [
+        T.StructField("op", T.StringType(), False),
+        T.StructField("delta_round", T.IntegerType(), False),
+    ]
+)
+
 LOG_SCHEMA = T.StructType(
     [
         T.StructField("seq", T.LongType(), False),
@@ -140,6 +151,8 @@ class CrawlEngine:
         decode_images: bool = True,
         store_image_bytes: bool = True,
         bloom_min_rows: int = 500_000,
+        images_broadcast_max: int = 100_000,
+        compact_every: int = 16,
     ):
         self.spark = spark
         self.fixture_dir = fixture_dir
@@ -157,6 +170,16 @@ class CrawlEngine:
         # Bloom path; correctness is identical either way (property:
         # test_no_bloom_same_result).
         self.bloom_min_rows = bloom_min_rows
+        # a round's fetched rows are usually the small join side, but a
+        # hot round can schedule 10^6-10^7 rows (GBs of url/caption
+        # strings) — broadcasting that OOMs executors. Above this row
+        # count the payload join falls back to a shuffle join against
+        # the bucketed store (VERDICT r01).
+        self.images_broadcast_max = images_broadcast_max
+        # merge-on-read frontier: compact (partitioned overwrite) after
+        # this many delta snapshots so read-side resolution stays O(1)
+        # snapshots; between compactions per-round writes are O(delta)
+        self.compact_every = compact_every
         self.pol = PolitenessConfig.load(os.path.join(fixture_dir, "politeness.json"))
         self.store_path = os.path.join(fixture_dir, "page_store.parquet")
         self.images_path = os.path.join(fixture_dir, "image_captions.parquet")
@@ -249,8 +272,65 @@ class CrawlEngine:
             .withColumn("discovery_time", F.lit(0))
             .withColumn("attempt", F.lit(0))
         )
-        self.t_frontier.overwrite(frontier)
+        self.t_frontier.overwrite(
+            self._as_delta(frontier, "add", -1), partition_by=["host_bucket"]
+        )
         self._commit_state(0, 0)
+
+    # ------------------------------------------ merge-on-read frontier
+    # The stored frontier is append-only between compactions: each round
+    # appends one delta snapshot ('del' for every scheduled url, 'add'
+    # for retries and fresh discoveries) instead of rewriting the whole
+    # table — per-round frontier I/O is O(round delta), not O(frontier)
+    # (VERDICT r01; the Iceberg analog is merge-on-read row deletes).
+    # Read-side resolution keeps the newest record per url (an 'add'
+    # beats a 'del' within the same round: a scheduled transient that
+    # retries is removed AND re-enqueued that round). Every
+    # ``compact_every`` deltas the resolved view is rewritten as one
+    # snapshot hive-partitioned by host_bucket — the SURVEY §4.2.2
+    # bucket layout, so bucket-local scans survive at 10^10 urls.
+    @staticmethod
+    def _as_delta(df: DataFrame, op: str, delta_round: int) -> DataFrame:
+        out = df.withColumn("op", F.lit(op)).withColumn(
+            "delta_round", F.lit(delta_round).cast("int")
+        )
+        return out.select([f.name for f in FRONTIER_DELTA_SCHEMA.fields])
+
+    def frontier_view(self) -> DataFrame:
+        raw = self.t_frontier.read(self.spark, schema=FRONTIER_DELTA_SCHEMA)
+        if not any(s["op"] == "append" for s in self.t_frontier.snapshots()):
+            # freshly initialized/compacted: stored rows ARE the
+            # resolved state — skip the resolution shuffle entirely
+            return raw.select([f.name for f in FRONTIER_SCHEMA.fields])
+        # newest record per url wins; an 'add' outranks a 'del' within
+        # the same round (scheduled transient re-enqueued by retry).
+        # max_by hash-aggregates with map-side partial merge — cheaper
+        # than a sort-based window over the same key.
+        rank = F.struct(
+            F.col("delta_round"),
+            F.when(F.col("op") == "add", 1).otherwise(0).alias("opr"),
+        )
+        payload = F.struct(
+            *[F.col(f.name) for f in FRONTIER_SCHEMA.fields], F.col("op")
+        )
+        return (
+            raw.groupBy("canon_url")
+            .agg(F.max_by(payload, rank).alias("r"))
+            .where(F.col("r.op") == "add")
+            .select(*[F.col(f"r.{f.name}").alias(f.name) for f in FRONTIER_SCHEMA.fields])
+        )
+
+    def _maybe_compact(self) -> None:
+        n_since = 0
+        for s in reversed(self.t_frontier.snapshots()):
+            if s["op"] == "overwrite":
+                break
+            n_since += 1
+        if n_since >= self.compact_every:
+            self.t_frontier.overwrite(
+                self._as_delta(self.frontier_view(), "add", -1),
+                partition_by=["host_bucket"],
+            )
 
     def _resume(self) -> tuple[int, int]:
         """Roll every table back to the last committed round boundary;
@@ -334,17 +414,26 @@ class CrawlEngine:
         )
 
     def _images_stage(
-        self, fetched: DataFrame, rnd: int, pbuckets: set[int] | None = None
+        self,
+        fetched: DataFrame,
+        rnd: int,
+        pbuckets: set[int] | None = None,
+        n_ok: int | None = None,
     ) -> DataFrame:
         """Payload pipeline: fetched detail rows → image bytes → decode →
         phash/dims, Arrow-batched (SURVEY §2.10 I4/I6).
 
-        The round's fetched rows are the small side — broadcast them
-        explicitly (post-UDF stats are unknown, so Catalyst would
+        The round's fetched rows are usually the small side — broadcast
+        them explicitly (post-UDF stats are unknown, so Catalyst would
         otherwise sort-merge — i.e. SORT the whole multi-GB store every
-        round). ``pbuckets`` (from the round's fused stats collect)
-        statically prunes the hive-partitioned store to the touched
-        buckets; sparse rounds read a handful of files."""
+        round) — but ONLY while the round is provably small (``n_ok``
+        from the fused stats collect vs ``images_broadcast_max``): a
+        10^6-row round's url+caption strings are GBs and would OOM the
+        executors as a broadcast. Large rounds shuffle-join instead; the
+        (pbucket, image_id) key co-locates with the bucketed store.
+        ``pbuckets`` (same stats collect) statically prunes the
+        hive-partitioned store to the touched buckets; sparse rounds
+        read a handful of files."""
         from scraper_spark.functions.hashes import bucket_col as _bucket
         from scraper_spark.sources.fixtures import N_IMAGE_BUCKETS
 
@@ -364,8 +453,10 @@ class CrawlEngine:
             store = store.where(F.col("pbucket").isin(sorted(pbuckets)))
         # inner join is exact here: the store holds every fetched
         # image_id by construction (fetch returned it from the same
-        # corpus); broadcast the per-round side
-        joined = store.join(F.broadcast(with_img), ["pbucket", "image_id"], "inner")
+        # corpus); broadcast the per-round side only when provably small
+        small = n_ok is None or n_ok <= self.images_broadcast_max
+        right = F.broadcast(with_img) if small else with_img
+        joined = store.join(right, ["pbucket", "image_id"], "inner")
         # on heavily-pruned rounds the scan yields few partitions, which
         # would serialize the Arrow decode onto a couple of cores →
         # repartition (cheap: little data). On full-scan rounds the scan
@@ -406,11 +497,16 @@ class CrawlEngine:
 
         return joined.mapInPandas(decode, IMAGES_SCHEMA)
 
-    def _dedup_links(self, links: DataFrame, known: DataFrame) -> DataFrame:
-        """links − known-frontier − url_seen (Bloom prefilter on the big
-        anti-join; exactness always from the left_anti)."""
+    def _dedup_links(
+        self, links: DataFrame, known: DataFrame, seen_tbl: DataFrame
+    ) -> DataFrame:
+        """links − known-frontier − ``seen_tbl`` (Bloom prefilter on the
+        big anti-join; exactness always from the left_anti). The caller
+        passes seen explicitly — during a round it is the pre-round seen
+        set ∪ this round's terminal fetches, which lets the frontier
+        delta write run concurrently with the log append instead of
+        reading the just-committed log snapshot."""
         fresh = links.join(known.select("canon_url"), "canon_url", "left_anti")
-        seen_tbl = self.seen_df()
         if not (self.use_bloom and self._bloom_segments):
             return fresh.join(seen_tbl, "canon_url", "left_anti")
         bc = self._bloom_bc
@@ -452,7 +548,11 @@ class CrawlEngine:
                 phases[name] = round(now - _pt[0], 2)
                 _pt[0] = now
 
-            frontier = self.t_frontier.read(self.spark, schema=FRONTIER_SCHEMA)
+            frontier = self.frontier_view().persist()
+            self._round_persists.append(frontier)
+            # footer row count includes unresolved deltas (over-count) —
+            # used only for the big/small plan heuristics, where an
+            # over-estimate just picks the salted/partitioned path
             frontier_rows = self.t_frontier.rows()
             scheduled = self._schedule(frontier, frontier_rows)
             # spread the fetch across all cores: the scheduling window's
@@ -465,15 +565,25 @@ class CrawlEngine:
                     self.parallelism, "host", "canon_url"
                 )
             fetched = fetch(scheduled, self.store_path).persist()
-            # ONE stats collect per round: status counts, exhausted count,
-            # and the per-bucket counts that seed the global-seq offsets
-            will_exhaust = (F.col("status") == STATUS_TRANSIENT) & (
-                F.col("attempt") + 1 >= self.pol.max_attempts
-            )
+            self._round_persists.append(fetched)
+            # seen set as of the round start (dirs resolved NOW, before
+            # any concurrent append commits)
+            seen_base = self.seen_df()
+            is_transient = F.col("status") == STATUS_TRANSIENT
+            exhausted = F.col("attempt") + 1 >= self.pol.max_attempts
+            terminal = fetched.where(~is_transient | exhausted).select("canon_url")
+
+            # ---- ONE fused stats(+bloom-delta) collect per round:
+            # status counts, exhausted count, per-bucket counts (seeding
+            # the global-seq offsets), touched image pbuckets, and — in
+            # Bloom steady state — the round's Bloom segment bits, all in
+            # a single job over the cached fetch (ADVICE r01: fewer
+            # fixed-latency jobs per round)
             from scraper_spark.functions.hashes import bucket_col as _bucket
             from scraper_spark.sources.fixtures import N_IMAGE_BUCKETS
 
-            stats_rows = (
+            will_exhaust = is_transient & exhausted
+            stats_agg = (
                 fetched.groupBy("host_bucket", "status", will_exhaust.alias("exh"))
                 .agg(
                     F.count("*").alias("n"),
@@ -481,13 +591,42 @@ class CrawlEngine:
                         _bucket(F.col("image_id"), N_IMAGE_BUCKETS).cast("int")
                     ).alias("pb"),
                 )
-                .collect()
+                .select(
+                    F.lit("stats").alias("kind"),
+                    "host_bucket",
+                    "status",
+                    "exh",
+                    "n",
+                    "pb",
+                    F.lit(None).cast("int").alias("seg"),
+                    F.lit(None).cast("array<long>").alias("bits"),
+                )
             )
+            fuse_bloom_delta = self.use_bloom and bool(self._bloom_segments)
+            if fuse_bloom_delta:
+                bloom_agg = bloom.build_segments(terminal).select(
+                    F.lit("bloom").alias("kind"),
+                    F.lit(None).cast("int").alias("host_bucket"),
+                    F.lit(None).cast("int").alias("status"),
+                    F.lit(None).cast("boolean").alias("exh"),
+                    F.lit(None).cast("long").alias("n"),
+                    F.lit(None).cast("array<int>").alias("pb"),
+                    "seg",
+                    "bits",
+                )
+                fused = stats_agg.unionByName(bloom_agg)
+            else:
+                fused = stats_agg
+            fused_rows = fused.collect()
             counts: dict[int, int] = {}
             bucket_counts: dict[int, int] = {}
             pbuckets: set[int] = set()
             n_exhausted = 0
-            for r in stats_rows:
+            bloom_rows = []
+            for r in fused_rows:
+                if r["kind"] == "bloom":
+                    bloom_rows.append((r["seg"], r["bits"]))
+                    continue
                 counts[r["status"]] = counts.get(r["status"], 0) + r["n"]
                 bucket_counts[r["host_bucket"]] = (
                     bucket_counts.get(r["host_bucket"], 0) + r["n"]
@@ -498,10 +637,43 @@ class CrawlEngine:
             n_sched = sum(counts.values())
             _mark("fetch_stats")
             if n_sched == 0:
-                fetched.unpersist()
                 break
+            seq_new = seq + n_sched
 
-            # ---- crawl log (total order + global seq) ------------------
+            # ---- Bloom update (driver-side numpy merge; the segment
+            # build already rode the fused job in steady state) ----------
+            if self.use_bloom:
+                delta: dict[int, np.ndarray] = {}
+                if fuse_bloom_delta:
+                    delta = bloom.merge_segment_frames(
+                        [pd.DataFrame(bloom_rows, columns=["seg", "bits"])]
+                    )
+                elif seq_new >= self.bloom_min_rows:
+                    # activation: one full build over the whole seen set
+                    # (amortized — once when crossing the threshold, or
+                    # on resume from an empty sidecar)
+                    delta = bloom.merge_segment_frames(
+                        [
+                            bloom.build_segments(
+                                seen_base.unionByName(terminal)
+                            ).toPandas()
+                        ]
+                    )
+                if delta:
+                    for seg, bits in delta.items():
+                        if seg in self._bloom_segments:
+                            self._bloom_segments[seg] = (
+                                self._bloom_segments[seg] | bits
+                            )
+                        else:
+                            self._bloom_segments[seg] = bits
+                    self._save_bloom()
+                    self._refresh_bloom_bc()
+            _mark("bloom")
+
+            # ---- build the four independent table writes ---------------
+            # url_seen stays DERIVED from crawl_log + fetch_errors (see
+            # seen_df) — no per-round table write for it
             log = with_global_seq(
                 fetched.select(
                     F.lit(rnd).cast("int").alias("round"),
@@ -517,52 +689,7 @@ class CrawlEngine:
                 seq,
                 bucket_counts,
             ).select([f.name for f in LOG_SCHEMA.fields])
-            self.t_log.append(log)
-            seq += n_sched
-            _mark("log")
 
-            # ---- seen/error bookkeeping -------------------------------
-            # url_seen is DERIVED from crawl_log + fetch_errors (see
-            # seen_df) — no per-round table write
-            is_transient = F.col("status") == STATUS_TRANSIENT
-            exhausted = F.col("attempt") + 1 >= self.pol.max_attempts
-            if n_exhausted > 0:
-                errors = fetched.where(is_transient & exhausted).select(
-                    "canon_url", F.lit(rnd).cast("int").alias("round")
-                )
-                self.t_errors.append(errors)
-            if self.use_bloom and (
-                self._bloom_segments or seq >= self.bloom_min_rows
-            ):
-                if not self._bloom_segments:
-                    # activation: one full build over the whole seen set
-                    # (amortized — happens once when crossing the
-                    # threshold, or on resume from an empty sidecar)
-                    src = self.seen_df()
-                else:
-                    # steady state: distributed bit-build on the round's
-                    # delta only (scheduled rows are unique by canon_url)
-                    src = fetched.where(~is_transient | exhausted).select(
-                        "canon_url"
-                    )
-                delta = bloom.merge_segment_frames(
-                    [bloom.build_segments(src).toPandas()]
-                )
-                for seg, bits in delta.items():
-                    if seg in self._bloom_segments:
-                        self._bloom_segments[seg] = self._bloom_segments[seg] | bits
-                    else:
-                        self._bloom_segments[seg] = bits
-                self._save_bloom()
-                self._refresh_bloom_bc()
-            _mark("seen_bloom")
-
-            # ---- payload: images --------------------------------------
-            if self.decode_images and counts.get(STATUS_OK, 0) > 0 and pbuckets:
-                self.t_images.append(self._images_stage(fetched, rnd, pbuckets))
-            _mark("images")
-
-            # ---- frontier update: remove scheduled, retry transients --
             retry = (
                 fetched.where(is_transient & ~exhausted)
                 .select(
@@ -571,7 +698,7 @@ class CrawlEngine:
                     "host_bucket",
                     "depth",
                     "discovery_time",
-                    (F.col("attempt") + 1).alias("attempt"),
+                    (F.col("attempt") + 1).cast("int").alias("attempt"),
                 )
             )
             remaining = frontier.join(
@@ -580,8 +707,6 @@ class CrawlEngine:
             known = remaining.select("canon_url").unionByName(
                 retry.select("canon_url")
             )
-
-            # ---- parse/explode new links ------------------------------
             links = fetched.where(
                 (F.col("status") == STATUS_OK) & F.col("links").isNotNull()
             ).select("depth", F.explode("links").alias("link"))
@@ -598,7 +723,9 @@ class CrawlEngine:
                 .groupBy("canon_url")
                 .agg(F.min("depth").cast("int").alias("depth"))
             )
-            fresh = self._dedup_links(links, known)
+            fresh = self._dedup_links(
+                links, known, seen_base.unionByName(terminal)
+            )
             fresh = (
                 fresh.withColumn("host", host_udf("canon_url"))
                 .withColumn(
@@ -608,13 +735,51 @@ class CrawlEngine:
                 .withColumn("attempt", F.lit(0))
                 .select([f.name for f in FRONTIER_SCHEMA.fields])
             )
-            new_frontier = (
-                remaining.select([f.name for f in FRONTIER_SCHEMA.fields])
-                .unionByName(retry.withColumn("attempt", F.col("attempt").cast("int")))
-                .unionByName(fresh)
+            # frontier delta: O(round) rows appended, no table rewrite
+            deltas = (
+                self._as_delta(
+                    fetched.select([f.name for f in FRONTIER_SCHEMA.fields]),
+                    "del",
+                    rnd,
+                )
+                .unionByName(self._as_delta(retry, "add", rnd))
+                .unionByName(self._as_delta(fresh, "add", rnd))
             )
-            self.t_frontier.overwrite(new_frontier)
-            _mark("frontier")
+
+            # ---- run the writes CONCURRENTLY: four independent tables,
+            # four independent Spark jobs — overlapping them collapses
+            # the per-round fixed job-latency floor that capped N→4N
+            # scaling efficiency (VERDICT/ADVICE r01). Ordering is free:
+            # the frontier delta derives seen from seen_base ∪ terminal,
+            # not from the in-flight log append.
+            from concurrent.futures import ThreadPoolExecutor
+
+            jobs = [lambda: self.t_log.append(log)]
+            if n_exhausted > 0:
+                errors = fetched.where(is_transient & exhausted).select(
+                    "canon_url", F.lit(rnd).cast("int").alias("round")
+                )
+                jobs.append(lambda: self.t_errors.append(errors))
+            if self.decode_images and counts.get(STATUS_OK, 0) > 0 and pbuckets:
+                jobs.append(
+                    lambda: self.t_images.append(
+                        self._images_stage(
+                            fetched, rnd, pbuckets, n_ok=counts.get(STATUS_OK, 0)
+                        )
+                    )
+                )
+            # deltas are written UNPARTITIONED: they are O(round) rows
+            # and live at most compact_every rounds — hive-bucketing
+            # them would write tasks×64 tiny files per round. Only the
+            # compacted base carries the host_bucket layout.
+            jobs.append(lambda: self.t_frontier.append(deltas))
+            with ThreadPoolExecutor(max_workers=len(jobs)) as ex:
+                for fut in [ex.submit(j) for j in jobs]:
+                    fut.result()
+            seq = seq_new
+            _mark("writes")
+            self._maybe_compact()
+            _mark("compact")
 
             # ---- metrics (driver-side lineage JSONL; timings are not
             # order-observable, so the determinism ban doesn't apply) ----
@@ -635,7 +800,6 @@ class CrawlEngine:
                     )
                     + "\n"
                 )
-            fetched.unpersist()
             for df_p in self._round_persists:
                 df_p.unpersist()
             self._round_persists.clear()
@@ -643,5 +807,8 @@ class CrawlEngine:
             totals["fetched"] += n_sched
             totals["rounds"] += 1
             rnd += 1
+        for df_p in self._round_persists:  # break path (empty frontier)
+            df_p.unpersist()
+        self._round_persists.clear()
         totals["log_rows"] = seq
         return totals

@@ -89,6 +89,14 @@ class TableIO:
         """Atomically replace table contents as a new snapshot."""
         return self._write(df, "overwrite", partition_by)
 
+    @staticmethod
+    def _is_hive_dir(d: str) -> bool:
+        try:
+            return any("=" in e and os.path.isdir(os.path.join(d, e))
+                       for e in os.listdir(d))
+        except FileNotFoundError:
+            return False
+
     def _dirs_as_of(self, as_of: int | None) -> list[str]:
         m = self._load()
         sid = m["current"] if as_of is None else as_of
@@ -114,7 +122,17 @@ class TableIO:
         """
         dirs = self._dirs_as_of(as_of)
         if dirs:
-            return spark.read.parquet(*dirs)
+            if len(dirs) == 1 or not any(self._is_hive_dir(d) for d in dirs):
+                # unpartitioned snapshots: ONE scan node over all dirs
+                return spark.read.parquet(*dirs)
+            # hive-partitioned snapshots in the mix: Spark refuses
+            # multiple partitioned roots in a single load — read each
+            # root separately (partition-column inference stays per
+            # root) and union by name.
+            out = spark.read.parquet(dirs[0])
+            for d in dirs[1:]:
+                out = out.unionByName(spark.read.parquet(d))
+            return out
         if schema is None:
             m = self._load()
             if m["snapshots"]:

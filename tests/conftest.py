@@ -17,10 +17,13 @@ def spark():
 
 @pytest.fixture(scope="session")
 def fixture_dir(tmp_path_factory):
-    """Small deterministic crawl corpus: ~170 pages, budgets sized so the
-    crawl converges in ~30 rounds."""
+    """Small deterministic crawl corpus: ~170 pages, budgets sized so
+    the crawl converges in ~17 rounds (per-round Spark job latency is
+    ~4 s at local[8], so round count dominates suite wall time; the
+    hot-host budget still undercuts the default so politeness windows
+    and multi-round drains stay exercised)."""
     d = str(tmp_path_factory.mktemp("fixtures"))
-    generate(d, n_hosts=8, n_urls=150, default_tokens=4, hot_tokens=2)
+    generate(d, n_hosts=8, n_urls=150, default_tokens=8, hot_tokens=3)
     return d
 
 

@@ -113,6 +113,32 @@ def test_no_bloom_same_result(spark, fixture_dir, tmp_path_factory, crawl_pair):
     pd.testing.assert_frame_equal(_engine_log(eng_full, spark), _engine_log(eng, spark))
 
 
+def test_scale_paths_invariant(spark, fixture_dir, tmp_path_factory, crawl_pair):
+    """One crawl with every scale-path knob forced to its large-corpus
+    setting — images_broadcast_max=0 (shuffle-join payload path, the
+    plan a 10^6-row round takes) and compact_every=2 (aggressive
+    merge-on-read frontier compaction) — must be output-identical to
+    the default run: physical layout and join strategy are invisible."""
+    eng_full, _, _ = crawl_pair
+    work = str(tmp_path_factory.mktemp("crawl_scalepaths"))
+    eng = CrawlEngine(spark, fixture_dir, work, bloom_min_rows=0,
+                      images_broadcast_max=0, compact_every=2)
+    eng.run()
+    pd.testing.assert_frame_equal(
+        _engine_log(eng_full, spark), _engine_log(eng, spark)
+    )
+    a = eng_full.t_images.read(spark).toPandas()
+    b = eng.t_images.read(spark).toPandas()
+    key = ["image_id", "canon_url"]
+    assert set(map(tuple, a[key].values)) == set(map(tuple, b[key].values))
+    am = a.sort_values(key).reset_index(drop=True)
+    bm = b.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        am[["image_id", "w", "h", "phash", "caption", "round"]],
+        bm[["image_id", "w", "h", "phash", "caption", "round"]],
+    )
+
+
 def test_retry_exhaustion_path(spark, tmp_path_factory):
     """max_attempts=1 makes every 503 exhaust immediately, so the
     fetch_errors table and the errors-union-seen derivation are
