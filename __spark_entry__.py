@@ -715,6 +715,52 @@ def q_i_image_pipeline(spark, sf):
     )
 
 
+def q_p10_address_fields(spark, sf):
+    # P10 (haozu.py:92-106): positional address tokenization — fixed
+    # leading fields (district/area) + char-positional prefix + rest
+    s = F.split(F.col("p_name"), " ")
+    return _t(spark, sf, "part").select(
+        "p_partkey",
+        s.getItem(0).alias("district"),
+        s.getItem(1).alias("area"),
+        F.substring("p_name", 1, 6).alias("prefix6"),
+        F.array_join(F.slice(s, 3, 100), " ").alias("rest"),
+    )
+
+
+def q_f3_dropna(spark, sf):
+    # F3 (pandas .dropna at load, db.py:101-102): blank→null then drop
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.when(F.trim(F.col("text")) == "", None)
+        .otherwise(F.col("text"))
+        .alias("text"),
+        "lang",
+    )
+    return d.na.drop(subset=["text", "lang"]).select("doc_id", "lang")
+
+
+def q_f7_confidence_gate(spark, sf):
+    # F7 (baidu_api.py:86-90): the len(code)==k ∧ prob>t compound gate
+    return (
+        _t(spark, sf, "events")
+        .where((F.length("event_type") == 4) & (F.col("value") > 10.0))
+        .select("event_id", "event_type", F.round("value", 2).alias("value"))
+    )
+
+
+def q_f8_skip_header(spark, sf):
+    # F8 (pam_invoice.py:62-64 header-row skip): drop the first row of
+    # each source group (positional skip as a window, not an iloc)
+    w = W.partitionBy("source").orderBy("doc_id")
+    return (
+        _t(spark, sf, "documents")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") > 1)
+        .select("doc_id", "source", "rn")
+    )
+
+
 def q_u3_intersect(spark, sf):
     # U3 (db.py:40,330-331): set intersection
     cust_n = _t(spark, sf, "customer").select(
@@ -776,6 +822,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p11_attrs_map": q_p11_attrs_map,
         "s3_paginated_enrich": q_s3_paginated_enrich,
         "i_image_pipeline": q_i_image_pipeline,
+        "p10_address_fields": q_p10_address_fields,
+        "f3_dropna": q_f3_dropna,
+        "f7_confidence_gate": q_f7_confidence_gate,
+        "f8_skip_header": q_f8_skip_header,
     }
 
 
@@ -1068,6 +1118,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.c_custkey AS ref_custkey, c.c_mktsegment AS ref_segment,
                    pg.o_orderkey, pg.slot, pg.page
             FROM customer c LEFT JOIN pg ON pg.o_custkey = c.c_custkey
+        """,
+        "p10_address_fields": """
+            SELECT p_partkey,
+                   string_split(p_name, ' ')[1] AS district,
+                   string_split(p_name, ' ')[2] AS area,
+                   substr(p_name, 1, 6) AS prefix6,
+                   coalesce(array_to_string(string_split(p_name, ' ')[3:], ' '), '')
+                     AS rest
+            FROM part
+        """,
+        "f3_dropna": """
+            SELECT doc_id, lang FROM (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN NULL ELSE text END AS text,
+                     lang
+              FROM documents
+            ) WHERE text IS NOT NULL AND lang IS NOT NULL
+        """,
+        "f7_confidence_gate": """
+            SELECT event_id, event_type, round(value, 2) AS value
+            FROM events
+            WHERE length(event_type) = 4 AND value > 10.0
+        """,
+        "f8_skip_header": """
+            SELECT doc_id, source, rn FROM (
+              SELECT doc_id, source, row_number() OVER (
+                PARTITION BY source ORDER BY doc_id
+              ) AS rn FROM documents
+            ) WHERE rn > 1
         """,
         # i_image_pipeline: intentionally absent — binary payloads can't
         # cross into DuckDB; the driver records the rows-only check and

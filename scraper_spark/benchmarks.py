@@ -22,35 +22,75 @@ import time
 BENCH_FIXTURE = "/tmp/scraper_bench_fixtures"
 
 
+FIXTURE_PARAMS = dict(
+    n_hosts=50,
+    n_urls=180_000,
+    default_tokens=120_000,
+    hot_tokens=120_000,
+    image_rate=1.0,
+    pagination_fanout=1000,
+    page_size=100,
+    img_size=(64, 256),
+)
+
+
+def _fixture_fingerprint() -> str:
+    from scraper_spark.sources.fixtures import N_IMAGE_BUCKETS
+
+    return json.dumps(
+        dict(FIXTURE_PARAMS, n_image_buckets=N_IMAGE_BUCKETS), sort_keys=True
+    )
+
+
 def ensure_fixture(path: str = BENCH_FIXTURE) -> str:
-    """Deterministic bench corpus (seed=42): 50 hosts, ~100k URLs,
+    """Deterministic bench corpus (seed=42): 50 hosts, ~180k URLs,
     full image payload (decode+phash is the dominant per-page work, as
     in a real crawl), politeness budgets set high and the list-page
-    graph shallow (page_size 50, fanout 400) so the crawl is work-bound
-    in ~6 rounds instead of latency-bound in hundreds — throughput and
-    N→4N scaling are measured on real per-round work."""
-    marker = os.path.join(path, "politeness.json")
-    if not os.path.exists(marker):
+    graph shallow so the crawl is work-bound in ~6 rounds instead of
+    latency-bound in hundreds. The bulk round carries ~150k pages: at
+    10^10-URL scale EVERY round is work-bound like this one, so the
+    steady-state N→4N ratio is measured where the fixed ~3 s/round
+    driver+scheduling constant is amortized the way a real crawl
+    amortizes it. The corpus is cached under a parameter fingerprint
+    and regenerated when the parameters change."""
+    meta = os.path.join(path, "fixture_meta.json")
+    want = _fixture_fingerprint()
+    have = None
+    try:
+        with open(meta) as f:
+            have = f.read()
+    except FileNotFoundError:
+        pass
+    if have != want:
         from scraper_spark.sources.fixtures import generate
 
-        generate(
-            path,
-            n_hosts=50,
-            n_urls=100_000,
-            default_tokens=50_000,
-            hot_tokens=50_000,
-            image_rate=1.0,
-            pagination_fanout=1000,
-            page_size=100,
-            img_size=(64, 256),
-        )
+        shutil.rmtree(path, ignore_errors=True)
+        generate(path, **FIXTURE_PARAMS)
+        with open(meta, "w") as f:
+            f.write(want)
+        # settle the ~9 GB of dirty pages NOW: background writeback
+        # overlapping the first timed run costs it ~2× on the bulk
+        # round and silently wrecks the N→4N ratio (measured: steady
+        # eff 0.81 dirty vs 0.98 settled on identical code)
+        os.sync()
     return path
 
 
 def _prewarm(fixture: str) -> None:
-    """Pull the fixture files through the page cache so the timed
-    section measures compute scaling, not cold-disk bandwidth (which is
-    identical at both parallelism levels and would mask scaling)."""
+    """Normalize the page-cache state, identically for every
+    parallelism level: flush dirty pages, drop the caches (root-only;
+    skipped silently otherwise), then pull the fixture back through
+    the cache. Without the drop, the FIRST run after corpus generation
+    pays ~40 % on its bulk rounds (measured: 2002 vs 3492 pages/s
+    steady on identical code) from post-write kernel housekeeping —
+    which lands on whichever level happens to run first and corrupts
+    the N→4N ratio in either direction."""
+    os.sync()
+    try:
+        with open("/proc/sys/vm/drop_caches", "w") as f:
+            f.write("3\n")
+    except OSError:
+        pass
     for dirpath, _, files in os.walk(fixture):
         for f in files:
             with open(os.path.join(dirpath, f), "rb") as fh:

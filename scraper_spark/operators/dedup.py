@@ -69,17 +69,6 @@ def exact_dup_groups_sql() -> str:
 
 
 # -------------------------------------------------------------- minhash ----
-def _word_rows(docs: DataFrame) -> DataFrame:
-    return docs.select(
-        "doc_id", F.explode(tokens_col(F.lower(F.col("text")))).alias("word")
-    ).distinct()
-
-
-_WORDS_SQL = f"""
-    SELECT DISTINCT doc_id, unnest({tokens_sql('lower(text)')}) AS word
-    FROM documents
-"""
-
 SHINGLE_N = 3  # MinHash token unit: 3-word shingles, not single words —
 # a natural-language corpus has a small hot vocabulary, so WORD-set
 # Jaccard is near 1 for unrelated docs (the sf0.01 corpus: 31 distinct
@@ -92,16 +81,20 @@ def _shingle_rows(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
     idx = F.when(
         F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
     ).otherwise(F.array().cast("array<int>"))
+    # NO distinct: min-of-hash is invariant under duplicate shingles,
+    # so deduping here would buy nothing and cost a full shuffle of the
+    # exploded rows — the signature aggregate goes straight to the
+    # map-side partial min.
     return docs.select(
         "doc_id",
         F.explode(
             F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
         ).alias("word"),
-    ).distinct()
+    )
 
 
 _SHINGLES_SQL = f"""
-    SELECT DISTINCT doc_id,
+    SELECT doc_id,
            array_to_string(toks[i : i + {SHINGLE_N} - 1], ' ') AS word
     FROM (
       SELECT doc_id, toks,

@@ -16,16 +16,28 @@ and ONE dedup join (Bloom-prefiltered exact left_anti). Fetch, parse,
 and image decode run inside Arrow-batched pandas stages with no
 shuffle.
 
+Round execution shape (round 2): ONE fused driver action (stats +
+Bloom-delta segments in a single collect over the cached fetch), then
+the four table writes — crawl log, fetch errors, image payload,
+frontier delta — run CONCURRENTLY from a thread pool; they touch
+disjoint tables and the frontier delta derives its seen set from
+(pre-round seen ∪ this round's terminal fetches), so nothing orders
+them. This collapses the sequential per-round job-latency floor that
+capped N→4N scaling efficiency in round 1 (VERDICT r01).
+
 Determinism: the crawl log carries a global ``seq`` assigned by sorting
 on the spec's total order and enumerating with ``zipWithIndex`` (two
 passes, no single-partition shuffle). No wall clock or randomness
 touches any order-observable value; round wall-times go only to the
 metrics table.
 
-Scale notes (10^10 frontier): frontier/url_seen live bucket-partitioned
-by host_bucket / url-hash in Iceberg (here: the TableIO seam, which
-rewrites whole snapshots — the Iceberg swap turns that into dynamic
-partition overwrite, no engine change). The Bloom broadcast is 8 MB at
+Scale notes (10^10 frontier): the frontier is MERGE-ON-READ — rounds
+append O(delta) 'del'/'add' records and the pending view is resolved
+with one max_by hash-aggregate; every ``compact_every`` deltas the
+resolved view is rewritten as a single snapshot hive-partitioned by
+host_bucket (Iceberg analog: positional deletes + periodic compaction
+into ``PARTITIONED BY (bucket(host))``). url_seen stays DERIVED from
+the append-only crawl log + errors. The Bloom broadcast is 8 MB at
 this sizing and grows by raising N_SEGMENTS; beyond broadcastable size
 the probe becomes a seg-keyed shuffle join with identical semantics.
 """
@@ -224,11 +236,12 @@ class CrawlEngine:
 
     def _save_bloom(self) -> None:
         """Persist Bloom segments as an npz sidecar (atomic replace) —
-        driver-held state, checkpointed before state.json commits."""
+        driver-held state, checkpointed before state.json commits.
+        Uncompressed: zlib over the ~8 MB bitset cost ~0.3 s of flat
+        driver time EVERY round — part of the non-scaling per-round
+        constant the N→4N efficiency pays for — to save a few MB."""
         tmp = self._bloom_path() + f".tmp-{uuid.uuid4().hex}.npz"
-        np.savez_compressed(
-            tmp, **{str(k): v for k, v in self._bloom_segments.items()}
-        )
+        np.savez(tmp, **{str(k): v for k, v in self._bloom_segments.items()})
         os.replace(tmp, self._bloom_path())
 
     def _load_bloom(self) -> None:
@@ -754,28 +767,43 @@ class CrawlEngine:
             # not from the in-flight log append.
             from concurrent.futures import ThreadPoolExecutor
 
-            jobs = [lambda: self.t_log.append(log)]
+            write_times: dict[str, float] = {}
+
+            def _timed(name, fn):
+                def run():
+                    t = time.monotonic()
+                    fn()
+                    write_times[name] = round(time.monotonic() - t, 2)
+
+                return run
+
+            jobs = [_timed("log", lambda: self.t_log.append(log))]
             if n_exhausted > 0:
                 errors = fetched.where(is_transient & exhausted).select(
                     "canon_url", F.lit(rnd).cast("int").alias("round")
                 )
-                jobs.append(lambda: self.t_errors.append(errors))
+                jobs.append(_timed("errors", lambda: self.t_errors.append(errors)))
             if self.decode_images and counts.get(STATUS_OK, 0) > 0 and pbuckets:
                 jobs.append(
-                    lambda: self.t_images.append(
-                        self._images_stage(
-                            fetched, rnd, pbuckets, n_ok=counts.get(STATUS_OK, 0)
-                        )
+                    _timed(
+                        "images",
+                        lambda: self.t_images.append(
+                            self._images_stage(
+                                fetched, rnd, pbuckets,
+                                n_ok=counts.get(STATUS_OK, 0),
+                            )
+                        ),
                     )
                 )
             # deltas are written UNPARTITIONED: they are O(round) rows
             # and live at most compact_every rounds — hive-bucketing
             # them would write tasks×64 tiny files per round. Only the
             # compacted base carries the host_bucket layout.
-            jobs.append(lambda: self.t_frontier.append(deltas))
+            jobs.append(_timed("frontier", lambda: self.t_frontier.append(deltas)))
             with ThreadPoolExecutor(max_workers=len(jobs)) as ex:
                 for fut in [ex.submit(j) for j in jobs]:
                     fut.result()
+            phases["write_jobs"] = write_times
             seq = seq_new
             _mark("writes")
             self._maybe_compact()

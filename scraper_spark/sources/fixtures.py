@@ -117,13 +117,20 @@ def _reencode_job(job: tuple[str, bytes, str, int, int, str]) -> dict:
     )
 
 
-N_IMAGE_BUCKETS = 64
+# 256 buckets: a sparse round touching k images prunes the store scan
+# to ≤ k of 256 partitions — with 64 buckets a 200-image politeness
+# round hashed into ~all buckets and re-scanned the whole store (the
+# engine's prune set and this layout share the same md5 derivation, so
+# the constant must match the corpus it generated; the bench fixture
+# fingerprint includes it)
+N_IMAGE_BUCKETS = 256
 
 
 def write_image_store(images_df: pd.DataFrame, path: str) -> None:
     """Write the image+caption payload table hive-partitioned by
-    ``pbucket = md5_long(image_id) % 64`` (the Iceberg-analog of
-    ``PARTITIONED BY (bucket(64, image_id))``, SURVEY §2.1 K3).
+    ``pbucket = md5_long(image_id) % N_IMAGE_BUCKETS`` (the
+    Iceberg-analog of ``PARTITIONED BY (bucket(N, image_id))``,
+    SURVEY §2.1 K3).
 
     The crawl's payload join carries the same derived bucket on its
     small side, so dynamic partition pruning skips untouched files on
