@@ -446,6 +446,10 @@ def q_x_token_count(spark, sf):
     return X.token_count(_t(spark, sf, "documents"))
 
 
+def q_x_token_bpe(spark, sf):
+    return X.token_count_bpe(_t(spark, sf, "documents"))
+
+
 def q_x_lang_id(spark, sf):
     return X.lang_id(_t(spark, sf, "documents"))
 
@@ -490,6 +494,13 @@ def q_s_lsh_topk(spark, sf):
 
 def q_s_neardup_pairs(spark, sf):
     return S.neardup_pairs(_t(spark, sf, "embeddings"), n_bits=8)
+
+
+def q_s_ivf_topk(spark, sf):
+    # IVF-flat ANN (the data-adaptive scale path beside sign-LSH):
+    # deterministic centroids so the DuckDB twin mirrors the inverted
+    # lists exactly; nprobe=4 of 16 lists
+    return S.ivf_topk(_t(spark, sf, "embeddings"))
 
 
 # ---- pytest-only families promoted to driver rows (VERDICT r01 §2) ---
@@ -671,6 +682,7 @@ def q_i_image_pipeline(spark, sf):
         binarize_images,
         crop_images,
         grayscale_images,
+        resize_images,
     )
     from scraper_spark.functions.imagecodec import decode_image, encode_image, phash64
     from scraper_spark.sources.fixtures import _render_image
@@ -688,7 +700,9 @@ def q_i_image_pipeline(spark, sf):
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "bytes": data})
 
     imgs = docs.mapInPandas(render, "doc_id long, bytes binary")
-    piped = binarize_images(grayscale_images(crop_images(imgs, (4, 4, 36, 36))))
+    piped = binarize_images(
+        grayscale_images(resize_images(crop_images(imgs, (4, 4, 36, 36)), 24, 24))
+    )
 
     def finish(batches):
         for pdf in batches:
@@ -713,6 +727,34 @@ def q_i_image_pipeline(spark, sf):
     return piped.mapInPandas(
         finish, "doc_id long, w int, h int, phash long, white_px long"
     )
+
+
+def q_i_video_frames(spark, sf):
+    # multimodal video plumbing (build brief): opaque binary video
+    # column → mapInPandas frame sampler with REAL per-frame decode
+    # (SGV1 container over the repo's own PNG codec) + phash. Bytes
+    # can't cross into DuckDB → rows-only.
+    import pandas as pd
+
+    from scraper_spark.functions.video_ops import encode_video, sample_frames
+    from scraper_spark.sources.fixtures import _render_image
+
+    docs = _t(spark, sf, "documents").select("doc_id").where(F.col("doc_id") < 16)
+
+    def make(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for d in pdf["doc_id"]:
+                frames = [
+                    _render_image(f"vid{int(d)}f{i}", 24, 24) for i in range(5)
+                ]
+                rows.append((f"vid{int(d)}", encode_video(frames)))
+            yield pd.DataFrame(rows, columns=["video_id", "vbytes"])
+
+    videos = docs.mapInPandas(make, "video_id string, vbytes binary")
+    return sample_frames(videos, every_n=2)
 
 
 def q_p10_address_fields(spark, sf):
@@ -803,6 +845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t2_window_agg": q_t2_window_agg,
         "c_schedule_kernel": q_c_schedule_kernel,
         "x_token_count": q_x_token_count,
+        "x_token_bpe": q_x_token_bpe,
         "x_lang_id": q_x_lang_id,
         "x_quality": q_x_quality,
         "x_fingerprint": q_x_fingerprint,
@@ -814,6 +857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_cosine_topk": q_s_cosine_topk,
         "s_lsh_topk": q_s_lsh_topk,
         "s_neardup_pairs": q_s_neardup_pairs,
+        "s_ivf_topk": q_s_ivf_topk,
         "u3_intersect": q_u3_intersect,
         "g_geo_datum": q_g_geo_datum,
         "b_bloom_probe": q_b_bloom_probe,
@@ -822,6 +866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p11_attrs_map": q_p11_attrs_map,
         "s3_paginated_enrich": q_s3_paginated_enrich,
         "i_image_pipeline": q_i_image_pipeline,
+        "i_video_frames": q_i_video_frames,
         "p10_address_fields": q_p10_address_fields,
         "f3_dropna": q_f3_dropna,
         "f7_confidence_gate": q_f7_confidence_gate,
@@ -1046,6 +1091,7 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rnk <= 2
         """,
         "x_token_count": X.token_count_sql(),
+        "x_token_bpe": X.token_count_bpe_sql(),
         "x_lang_id": X.lang_id_sql(),
         "x_quality": X.quality_score_sql(),
         "x_fingerprint": X.fingerprint_sql(),
@@ -1057,6 +1103,7 @@ def oracle_sql() -> dict[str, str]:
         "s_cosine_topk": S.cosine_topk_sql(),
         "s_lsh_topk": S.lsh_bucketed_topk_sql(),
         "s_neardup_pairs": S.neardup_pairs_sql(),
+        "s_ivf_topk": S.ivf_topk_sql(),
         "u3_intersect": """
             SELECT DISTINCT c_nationkey AS nationkey FROM customer
             INTERSECT

@@ -85,3 +85,9 @@ def binarize_images(df: DataFrame, threshold: int = 127) -> DataFrame:
 
 def crop_images(df: DataFrame, box: tuple[int, int, int, int]) -> DataFrame:
     return transform_images(df, lambda im: crop(im, box))
+
+
+def resize_images(df: DataFrame, out_h: int, out_w: int) -> DataFrame:
+    from scraper_spark.functions.imagecodec import area_resize
+
+    return transform_images(df, lambda im: area_resize(im, out_h, out_w))

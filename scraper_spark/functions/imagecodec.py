@@ -244,20 +244,36 @@ def to_gray(img: np.ndarray) -> np.ndarray:
     return img[:, :, 0] * 0.299 + img[:, :, 1] * 0.587 + img[:, :, 2] * 0.114
 
 
+def _resize_weights(src: int, dst: int) -> np.ndarray:
+    # W[i, j] = overlap of target cell i with source cell j
+    edges = np.linspace(0, src, dst + 1)
+    j = np.arange(src)
+    lo = np.maximum(edges[:-1, None], j[None, :])
+    hi = np.minimum(edges[1:, None], (j + 1)[None, :])
+    ww = np.clip(hi - lo, 0, None)
+    return ww / ww.sum(axis=1, keepdims=True)
+
+
 def _area_resize(gray: np.ndarray, size: int = 32) -> np.ndarray:
     """Area-average resize to size×size via fractional-overlap matmul."""
     h, w = gray.shape
+    return _resize_weights(h, size) @ gray @ _resize_weights(w, size).T
 
-    def weights(src: int) -> np.ndarray:
-        # W[i, j] = overlap of target cell i with source cell j
-        edges = np.linspace(0, src, size + 1)
-        j = np.arange(src)
-        lo = np.maximum(edges[:-1, None], j[None, :])
-        hi = np.minimum(edges[1:, None], (j + 1)[None, :])
-        ww = np.clip(hi - lo, 0, None)
-        return ww / ww.sum(axis=1, keepdims=True)
 
-    return weights(h) @ gray @ weights(w).T
+def area_resize(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """General area-average resize (gray or per-channel color) — the
+    vectorized analog of PIL ``Image.resize(..., BOX)`` used by the
+    reference before OCR upload (handlers/baidu_api.py:149)."""
+    wh = _resize_weights(img.shape[0], out_h)
+    ww = _resize_weights(img.shape[1], out_w).T
+    if img.ndim == 2:
+        out = wh @ img.astype(np.float64) @ ww
+    else:
+        out = np.stack(
+            [wh @ img[:, :, c].astype(np.float64) @ ww for c in range(img.shape[2])],
+            axis=2,
+        )
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
 
 
 def phash64(img: np.ndarray) -> int:

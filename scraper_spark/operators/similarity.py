@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
 N_SIGN_BITS = 8
 
@@ -197,6 +197,142 @@ def lsh_bucketed_topk(
         )
     )
     return scored.orderBy(F.col("cosine").desc(), F.col("vec_id")).limit(k)
+
+
+N_IVF_CENTROIDS = 16
+N_IVF_PROBE = 4
+
+
+def ivf_assign(
+    embeddings: DataFrame, k_centroids: int = N_IVF_CENTROIDS
+) -> DataFrame:
+    """IVF coarse quantization: every vector → its best centroid.
+
+    Centroids are the embeddings of the ``k_centroids`` smallest
+    vec_ids — deterministic, so the DuckDB oracle reproduces the
+    partitioning exactly (production would k-means; the *dataflow* —
+    small broadcast centroid table × full scan, argmax per row — is
+    identical). Assignment is a broadcast nested-loop over K rows per
+    vector with a per-vector window argmax (ties → lowest cid):
+    embarrassingly parallel, no shuffle except the argmax window, and
+    at 10^9 vectors the output is written partitioned by ``cid`` so a
+    query scans only its probed lists (partition pruning)."""
+    cents = embeddings.where(F.col("vec_id") < k_centroids).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    scored = embeddings.crossJoin(F.broadcast(cents)).withColumn(
+        "csim",
+        _dot(F.col("embedding"), F.col("cvec"))
+        / (_norm(F.col("embedding")) * _norm(F.col("cvec"))),
+    )
+    w = W.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cid"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("vec_id", "label", "embedding", "cid")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    k_centroids: int = N_IVF_CENTROIDS,
+    nprobe: int = N_IVF_PROBE,
+) -> DataFrame:
+    """IVF-flat ANN: rank centroids against the query, scan only the
+    ``nprobe`` best inverted lists, brute-force cosine inside them.
+    ``nprobe == k_centroids`` degrades to exact brute force (property-
+    tested); smaller nprobe trades recall for a 1/nprobe-of-corpus
+    scan. The scale path beside sign-LSH (`lsh_bucketed_topk`): IVF
+    adapts to the data distribution through its centroids where
+    sign-LSH's coordinate hyperplanes are data-oblivious."""
+    assign = ivf_assign(embeddings, k_centroids)
+    cents = embeddings.where(F.col("vec_id") < k_centroids).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    q = embeddings.where(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("qvec")
+    )
+    qscore = cents.crossJoin(F.broadcast(q)).withColumn(
+        "csim",
+        _dot(F.col("cvec"), F.col("qvec"))
+        / (_norm(F.col("cvec")) * _norm(F.col("qvec"))),
+    )
+    qprobe = (
+        qscore.orderBy(F.col("csim").desc(), F.col("cid"))
+        .limit(nprobe)
+        .select("cid")
+    )
+    cand = assign.join(F.broadcast(qprobe), "cid", "left_semi").where(
+        F.col("vec_id") != query_vec_id
+    )
+    return (
+        cand.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            "cid",
+            F.round(
+                _dot(F.col("embedding"), F.col("qvec"))
+                / (_norm(F.col("embedding")) * _norm(F.col("qvec"))),
+                4,
+            ).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(k)
+    )
+
+
+def ivf_topk_sql(
+    query_vec_id: int = 0,
+    k: int = 10,
+    k_centroids: int = N_IVF_CENTROIDS,
+    nprobe: int = N_IVF_PROBE,
+) -> str:
+    def dot(a, b):
+        return (
+            f"list_aggregate(list_transform(range(1, len({a}) + 1), "
+            f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), 'sum')"
+        )
+
+    def norm(a):
+        return (
+            f"sqrt(list_aggregate(list_transform({a}, "
+            "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))"
+        )
+
+    csim_vc = f"{dot('v.embedding', 'c.cvec')} / ({norm('v.embedding')} * {norm('c.cvec')})"
+    csim_cq = f"{dot('c.cvec', 'q.qvec')} / ({norm('c.cvec')} * {norm('q.qvec')})"
+    cos_vq = f"{dot('v.embedding', 'q.qvec')} / ({norm('v.embedding')} * {norm('q.qvec')})"
+    return f"""
+        WITH c AS (
+          SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+          WHERE vec_id < {k_centroids}
+        ),
+        q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = {query_vec_id}),
+        assign AS (
+          SELECT vec_id, label, embedding, cid FROM (
+            SELECT v.vec_id, v.label, v.embedding, c.cid,
+                   row_number() OVER (
+                     PARTITION BY v.vec_id
+                     ORDER BY {csim_vc} DESC, c.cid
+                   ) AS _rn
+            FROM embeddings v CROSS JOIN c
+          ) WHERE _rn = 1
+        ),
+        qprobe AS (
+          SELECT cid FROM c CROSS JOIN q
+          ORDER BY {csim_cq} DESC, cid LIMIT {nprobe}
+        )
+        SELECT v.vec_id, v.label, v.cid,
+               round({cos_vq}, 4) AS cosine
+        FROM assign v CROSS JOIN q
+        WHERE v.cid IN (SELECT cid FROM qprobe)
+          AND v.vec_id != {query_vec_id}
+        ORDER BY cosine DESC, v.vec_id
+        LIMIT {k}
+    """
 
 
 def neardup_pairs(

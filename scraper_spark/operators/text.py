@@ -60,6 +60,38 @@ def token_count_sql() -> str:
     """
 
 
+# GPT-2-style pre-tokenizer shape: contractions, letter runs, digit
+# runs, punctuation runs, residual whitespace. Written in the syntax
+# subset Java regex and RE2/DuckDB share (\p{L}/\p{N} classes), so the
+# count is engine-identical.
+BPE_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def token_count_bpe(docs: DataFrame) -> DataFrame:
+    """BPE-ish token count: the pre-tokenization split LLM tokenizers
+    apply before merges — a far better compute-cost proxy for training
+    data than whitespace words (CJK text is ~0 whitespace tokens but
+    many BPE pieces)."""
+    pieces = F.regexp_extract_all(F.col("text"), F.lit(BPE_PATTERN), 0)
+    non_ws = F.filter(pieces, lambda p: ~p.rlike(r"^\s+$"))
+    return docs.select(
+        "doc_id",
+        F.size(non_ws).alias("n_bpe_tokens"),
+        F.size(tokens_col(F.col("text"))).alias("n_ws_tokens"),
+    )
+
+
+def token_count_bpe_sql() -> str:
+    pat = BPE_PATTERN.replace("'", "''")
+    return f"""
+        SELECT doc_id,
+               len(list_filter(regexp_extract_all(text, '{pat}'),
+                   p -> NOT regexp_matches(p, '^\\s+$'))) AS n_bpe_tokens,
+               len({tokens_sql('text')}) AS n_ws_tokens
+        FROM documents
+    """
+
+
 # -------------------------------------------------------------- language id
 def lang_id(docs: DataFrame) -> DataFrame:
     """Argmax of stopword-hit counts; ties resolve in _LANG_PATTERNS

@@ -53,3 +53,59 @@ def test_transform_preserves_other_columns(spark):
     out = ops.grayscale_images(df).collect()[0]
     assert out.image_id == "a" and out.k == 7
     assert decode_image(bytes(out.bytes)).ndim == 2
+
+
+def test_area_resize_shapes_and_mean_preservation():
+    from scraper_spark.functions.imagecodec import area_resize
+
+    img = np.arange(32 * 48 * 3, dtype=np.uint8).reshape(32, 48, 3)
+    out = area_resize(img, 16, 12)
+    assert out.shape == (16, 12, 3)
+    # area averaging preserves the global mean (within rounding)
+    assert abs(float(out.mean()) - float(img.mean())) < 1.5
+    gray = area_resize(img[:, :, 0], 8, 8)
+    assert gray.shape == (8, 8)
+
+
+def test_resize_images_stage(spark):
+    img = encode_png(np.full((20, 30, 3), 128, dtype=np.uint8))
+    df = spark.createDataFrame([("a", img)], "image_id string, bytes binary")
+    out = ops.resize_images(df, 10, 15).collect()[0]
+    dec = decode_image(bytes(out.bytes))
+    assert dec.shape[:2] == (10, 15)
+    assert int(dec.mean()) == 128  # flat image stays flat
+
+
+def test_video_container_and_frame_sampler(spark):
+    from scraper_spark.functions import video_ops as V
+    from scraper_spark.functions.imagecodec import phash64
+
+    rng = np.random.default_rng(3)
+    frames = [rng.integers(0, 256, (12, 10, 3)).astype(np.uint8) for _ in range(5)]
+    blob = V.encode_video(frames)
+    assert V.frame_count(blob) == 5
+    assert np.array_equal(V.decode_frame(blob, 3), frames[3])  # PNG round-trip exact
+    df = spark.createDataFrame([("v0", blob)], "video_id string, vbytes binary")
+    out = V.sample_frames(df, every_n=2).toPandas().sort_values("frame_idx")
+    assert list(out.frame_idx) == [0, 2, 4]
+    assert list(out.n_frames) == [5, 5, 5]
+    assert list(out.w) == [10, 10, 10] and list(out.h) == [12, 12, 12]
+    for idx, ph in zip(out.frame_idx, out.phash):
+        assert ph == phash64(frames[idx])
+
+
+def test_audio_stub_and_fake_features(spark):
+    import pytest as _pytest
+
+    from scraper_spark.functions import video_ops as V
+
+    with _pytest.raises(NotImplementedError):
+        V.decode_audio(b"xx")
+    df = spark.createDataFrame(
+        [("a0", b"payload0"), ("a1", b"payload1")], "audio_id string, abytes binary"
+    )
+    out = V.audio_features(df).toPandas().sort_values("audio_id")
+    out2 = V.audio_features(df).toPandas().sort_values("audio_id")
+    assert list(out.audio_id) == ["a0", "a1"]
+    assert (out.reset_index(drop=True) == out2.reset_index(drop=True)).all().all()
+    assert (out.sample_rate == 16_000).all()

@@ -193,6 +193,32 @@ def test_lsh_recall_clustered(spark):
     assert sum(recalls) / len(recalls) >= 0.9, recalls
 
 
+def test_ivf_full_probe_equals_brute_force(spark):
+    """nprobe == k_centroids means every inverted list is scanned —
+    IVF must then return EXACTLY the brute-force top-k (the recall/
+    cost dial has a closed top end)."""
+    import numpy as np
+
+    from scraper_spark.operators.similarity import cosine_topk, ivf_topk
+
+    rng = np.random.default_rng(11)
+    rows = [
+        (i, [float(x) for x in rng.normal(size=16)], i % 3) for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    brute = cosine_topk(df, query_vec_id=0, k=10).toPandas()
+    full = ivf_topk(df, query_vec_id=0, k=10, k_centroids=8, nprobe=8).toPandas()
+    assert list(full.vec_id) == list(brute.vec_id)
+    assert list(full.cosine) == list(brute.cosine)
+    # and a partial probe returns a subset of its own full-probe result
+    part = ivf_topk(df, query_vec_id=0, k=10, k_centroids=8, nprobe=2).toPandas()
+    assert set(part.vec_id) <= set(
+        ivf_topk(df, query_vec_id=0, k=200, k_centroids=8, nprobe=8)
+        .toPandas()
+        .vec_id
+    )
+
+
 def test_lsh_bucket_prunes(spark):
     from scraper_spark.operators.similarity import lsh_bucketed_topk, sign_bucket_col
 
