@@ -243,11 +243,19 @@ def generate(
                 fmt = "png" if rng.random() < 0.5 else "jpg"
                 caption = _caption(rng)
                 image_jobs.append((image_id, w, h, fmt, caption))
+            # open KV attribute bag (reference: handlers/haozu.py:107-118
+            # lifts arbitrary label/value rows per detail page — SURVEY
+            # §1.2 P11): keys vary per page, values deterministic
+            attrs = {"floor": f"F{int(rng.integers(1, 30))}",
+                     "area": f"{int(rng.integers(20, 500))}㎡"}
+            if rng.random() < 0.5:
+                attrs["orient"] = ["南", "北", "东", "西"][int(rng.integers(0, 4))]
             pages.append(
                 dict(url=_noisy_variant(canon, rng), canon_url=canon,
                      host=hosts[i], kind="detail", struct_depth=2,
                      links=links, image_id=image_id, caption=caption,
-                     status=status)
+                     status=status, attrs=json.dumps(attrs, sort_keys=True,
+                                                     ensure_ascii=False))
             )
 
     # --- render/encode images (parallel; content keyed by image_id so

@@ -38,13 +38,19 @@ class _ArrowStore:
     Arrow data size even for 10^5+-row stores."""
 
     def __init__(self, path: str):
-        t = pq.read_table(
-            path, columns=["canon_url", "status", "links", "image_id", "caption"]
-        ).combine_chunks()
+        cols = ["canon_url", "status", "links", "image_id", "caption"]
+        have = set(pq.read_schema(path).names)
+        # attrs (open KV bag, JSON text) is optional — older corpora
+        # predate it; readers see null attrs then
+        with_attrs = "attrs" in have
+        if with_attrs:
+            cols.append("attrs")
+        t = pq.read_table(path, columns=cols).combine_chunks()
         self.status = t.column("status").chunk(0)
         self.links = t.column("links").chunk(0)
         self.image_id = t.column("image_id").chunk(0)
         self.caption = t.column("caption").chunk(0)
+        self.attrs = t.column("attrs").chunk(0) if with_attrs else None
         urls = t.column("canon_url").chunk(0)
         self.index = {urls[i].as_py(): i for i in range(len(urls))}
 
@@ -69,6 +75,7 @@ class ParquetPageStoreClient:
         links: list[list[str] | None] = []
         image_id: list[str | None] = []
         caption: list[str | None] = []
+        attrs: list[str | None] = []
         idx = store.index
         for i, (u, att) in enumerate(zip(urls, attempts)):
             j = idx.get(u)
@@ -77,6 +84,7 @@ class ParquetPageStoreClient:
                 links.append(None)
                 image_id.append(None)
                 caption.append(None)
+                attrs.append(None)
                 continue
             s = store.status[j].as_py()
             if s == STATUS_TRANSIENT and att == 0:
@@ -84,19 +92,29 @@ class ParquetPageStoreClient:
                 links.append(None)
                 image_id.append(None)
                 caption.append(None)
+                attrs.append(None)
                 continue
             status[i] = STATUS_OK if s == STATUS_TRANSIENT else s
             lv = store.links[j].as_py()
             links.append(lv if lv is not None else None)
             image_id.append(store.image_id[j].as_py())
             caption.append(store.caption[j].as_py())
+            a = store.attrs[j].as_py() if store.attrs is not None else None
+            attrs.append(a if isinstance(a, str) else None)
         return pd.DataFrame(
-            {"status": status, "links": links, "image_id": image_id, "caption": caption}
+            {
+                "status": status,
+                "links": links,
+                "image_id": image_id,
+                "caption": caption,
+                "attrs": attrs,
+            }
         )
 
 
 _FETCH_EXTRA_SCHEMA = (
-    "status int, links array<string>, image_id string, caption string"
+    "status int, links array<string>, image_id string, caption string, "
+    "attrs string"
 )
 
 

@@ -230,3 +230,36 @@ def test_lsh_bucket_prunes(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
     out = lsh_bucketed_topk(df, query_vec_id=0, k=10).toPandas()
     assert list(out.vec_id) == [1]
+
+
+def test_fetch_carries_attrs_kv_bag(spark, fixture_dir):
+    """Detail pages carry an open KV attribute bag (haozu.py:107-118
+    P11 semantics): the fetch stage surfaces it as a JSON column and
+    from_json lifts it into a queryable MapType attrs map."""
+    import json as _json
+    import os as _os
+
+    from scraper_spark.sources.page_store import fetch
+
+    store = pd.read_parquet(_os.path.join(fixture_dir, "page_store.parquet"))
+    details = store[(store.kind == "detail") & (store.status == 200)].head(20)
+    sched = spark.createDataFrame(
+        pd.DataFrame({"canon_url": details.canon_url, "attempt": 0})
+    )
+    fetched = fetch(sched, _os.path.join(fixture_dir, "page_store.parquet"))
+    m = F.from_json("attrs", "map<string,string>")
+    out = (
+        fetched.select(
+            "canon_url",
+            F.element_at(m, "floor").alias("floor"),
+            F.element_at(m, "area").alias("area"),
+            F.size(F.map_keys(m)).alias("n_keys"),
+        )
+        .toPandas()
+        .set_index("canon_url")
+    )
+    for row in details.itertuples():
+        want = _json.loads(row.attrs)
+        got = out.loc[row.canon_url]
+        assert got.floor == want["floor"] and got.area == want["area"]
+        assert got.n_keys == len(want)
