@@ -76,6 +76,37 @@ def ensure_fixture(path: str = BENCH_FIXTURE) -> str:
     return path
 
 
+def _probe_work(seconds: float) -> int:
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    a = rng.random((256, 256))
+    t0 = time.monotonic()
+    n = 0
+    while time.monotonic() - t0 < seconds:
+        a = np.tanh(a @ a.T * 1e-4)
+        n += 1
+    return n
+
+
+def cpu_scaling_probe(seconds: float = 4.0) -> float:
+    """Measured 2→8-proc scaling efficiency of PURE numpy
+    multiprocessing (no Spark): the physical ceiling any engine could
+    reach on this box right now. This shared VM has multi-minute
+    host-throttle windows where 8 concurrent processes each get ~50 %
+    of the 2-proc per-process rate (probe measured 0.47 during one,
+    ≥ 0.9 in clean windows) — during such a window NO dataflow can
+    show 4× scaling, so the bench records this envelope next to its
+    own numbers and waits (bounded) for a clean window."""
+    from multiprocessing import Pool
+
+    totals = {}
+    for procs in (2, 8):
+        with Pool(procs) as p:
+            totals[procs] = sum(p.map(_probe_work, [seconds] * procs))
+    return round(totals[8] / (4.0 * totals[2]), 3)
+
+
 def _prewarm(fixture: str) -> None:
     """Normalize the page-cache state, identically for every
     parallelism level: flush dirty pages, drop the caches (root-only;
