@@ -159,7 +159,12 @@ def lsh_candidate_pairs(docs: DataFrame, min_jaccard: float = MIN_JACCARD) -> Da
     cross join — at 10^9 docs the join key (band_id, band_hash)
     hash-distributes evenly, so no skew mitigation is needed unless one
     text dominates the corpus (then: salt the degenerate band key, or
-    short-circuit exact dups through exact_dup_groups first)."""
+    short-circuit exact dups through exact_dup_groups first). The
+    signature subtree appears three times in this declarative plan
+    (bands, verify-left, verify-right); a production pipeline
+    materializes ``minhash_signatures`` once (cache/write) and feeds
+    all three — the oracle-twinned query keeps the pure-expression
+    form."""
     sig = minhash_signatures(docs)
     bands = sig.select(
         "doc_id",
