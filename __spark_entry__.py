@@ -392,11 +392,13 @@ def q_f9_inequality(spark, sf):
 def q_t1_sessionize(spark, sf):
     # T-family (§2.11): sessionization = gap>600s cumsum (lag window)
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    # integer-ms epochs on BOTH engines: ts is TIMESTAMP_NTZ; session tz
-    # is pinned UTC so ntz→timestamp→double→floor(ms) mirrors DuckDB's
-    # epoch_ms(ts) exactly (a fractional-μs double here would diverge on
-    # gaps falling inside (600000, 600001) ms)
-    ep_ms = F.floor(F.col("ts").cast("timestamp").cast("double") * 1000).cast("long")
+    # integer-ms epochs on BOTH engines, via INTEGER arithmetic: ts is
+    # TIMESTAMP_NTZ; session tz is pinned UTC so ntz→timestamp→
+    # unix_micros div 1000 mirrors DuckDB's epoch_ms(ts) exactly.
+    # (Going through double seconds would double-round: micros → double
+    # → ×1000 → floor can land 1 ms low on exact-ms timestamps and flip
+    # a gap == 600001 ms session boundary.)
+    ep_ms = F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 1000")
     gap_ms = ep_ms - F.lag(ep_ms).over(w)
     marked = _t(spark, sf, "events").withColumn(
         "new_sess", F.when(gap_ms.isNull() | (gap_ms > 600_000), 1).otherwise(0)
@@ -1161,6 +1163,9 @@ def oracle_sql() -> dict[str, str]:
                      CAST(floor((rn - 1) / 8) AS INT) AS page,
                      CAST(rn - floor((rn - 1) / 8) * 8 AS INT) AS slot
               FROM ranked
+              -- mirror the Spark side's max_pages=10 cap: without it
+              -- the twin diverges as soon as a key has > 80 results
+              WHERE floor((rn - 1) / 8) < 10
             )
             SELECT c.c_custkey AS ref_custkey, c.c_mktsegment AS ref_segment,
                    pg.o_orderkey, pg.slot, pg.page

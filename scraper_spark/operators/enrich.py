@@ -53,11 +53,18 @@ def enrich_paginated(
     payload columns (explode_outer semantics, default_api.py:96-103).
     """
     pages: list[DataFrame] = []
+    cached: list[DataFrame] = []
     active = requests
     for page in range(max_pages):
         if active.isEmpty():
             break
-        res = fetch_page(active, page)
+        # persist each page: active's lineage chains through every
+        # earlier page's fetch, so without the cache the per-round
+        # liveness check and the final union would re-execute
+        # fetch_page for all prior pages — O(pages²) recompute, and
+        # re-FIRED requests against a remote client
+        res = fetch_page(active, page).persist()
+        cached.append(res)
         pages.append(res.withColumn("page", F.lit(page).cast("int")))
         # a request stays active only while its last page came back full
         full = (

@@ -63,8 +63,15 @@ def token_count_sql() -> str:
 # GPT-2-style pre-tokenizer shape: contractions, letter runs, digit
 # runs, punctuation runs, residual whitespace. Written in the syntax
 # subset Java regex and RE2/DuckDB share (\p{L}/\p{N} classes), so the
-# count is engine-identical.
-BPE_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+# count is engine-identical. Whitespace is an EXPLICIT class, not \s:
+# Java's \s includes \x0B (vertical tab) and RE2's does not — with \s
+# a \x0B in the text counts as a token piece in DuckDB but whitespace
+# in Spark.
+_WS = r" \t\n\r\f\x0B"
+BPE_PATTERN = (
+    r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+"
+    rf"| ?[^{_WS}\p{{L}}\p{{N}}]+|[{_WS}]+"
+)
 
 
 def token_count_bpe(docs: DataFrame) -> DataFrame:
@@ -73,7 +80,7 @@ def token_count_bpe(docs: DataFrame) -> DataFrame:
     data than whitespace words (CJK text is ~0 whitespace tokens but
     many BPE pieces)."""
     pieces = F.regexp_extract_all(F.col("text"), F.lit(BPE_PATTERN), 0)
-    non_ws = F.filter(pieces, lambda p: ~p.rlike(r"^\s+$"))
+    non_ws = F.filter(pieces, lambda p: ~p.rlike(rf"^[{_WS}]+$"))
     return docs.select(
         "doc_id",
         F.size(non_ws).alias("n_bpe_tokens"),
@@ -86,7 +93,7 @@ def token_count_bpe_sql() -> str:
     return f"""
         SELECT doc_id,
                len(list_filter(regexp_extract_all(text, '{pat}'),
-                   p -> NOT regexp_matches(p, '^\\s+$'))) AS n_bpe_tokens,
+                   p -> NOT regexp_matches(p, '^[{_WS}]+$'))) AS n_bpe_tokens,
                len({tokens_sql('text')}) AS n_ws_tokens
         FROM documents
     """

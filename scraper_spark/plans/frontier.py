@@ -195,6 +195,11 @@ class CrawlEngine:
         self.pol = PolitenessConfig.load(os.path.join(fixture_dir, "politeness.json"))
         self.store_path = os.path.join(fixture_dir, "page_store.parquet")
         self.images_path = os.path.join(fixture_dir, "image_captions.parquet")
+        # bucket modulus comes from the corpus itself — a constant
+        # mismatch would silently drop rows from the payload inner join
+        from scraper_spark.sources.fixtures import store_bucket_count
+
+        self.n_image_buckets = store_bucket_count(self.images_path)
 
         self.t_frontier = TableIO(os.path.join(work_dir, "frontier"))
         self.t_log = TableIO(os.path.join(work_dir, "crawl_log"))
@@ -309,9 +314,17 @@ class CrawlEngine:
         )
         return out.select([f.name for f in FRONTIER_DELTA_SCHEMA.fields])
 
+    def _deltas_since_compact(self) -> int:
+        n = 0
+        for s in reversed(self.t_frontier.snapshots()):
+            if s["op"] == "overwrite":
+                break
+            n += 1
+        return n
+
     def frontier_view(self) -> DataFrame:
         raw = self.t_frontier.read(self.spark, schema=FRONTIER_DELTA_SCHEMA)
-        if not any(s["op"] == "append" for s in self.t_frontier.snapshots()):
+        if self._deltas_since_compact() == 0:
             # freshly initialized/compacted: stored rows ARE the
             # resolved state — skip the resolution shuffle entirely
             return raw.select([f.name for f in FRONTIER_SCHEMA.fields])
@@ -334,12 +347,7 @@ class CrawlEngine:
         )
 
     def _maybe_compact(self) -> None:
-        n_since = 0
-        for s in reversed(self.t_frontier.snapshots()):
-            if s["op"] == "overwrite":
-                break
-            n_since += 1
-        if n_since >= self.compact_every:
+        if self._deltas_since_compact() >= self.compact_every:
             self.t_frontier.overwrite(
                 self._as_delta(self.frontier_view(), "add", -1),
                 partition_by=["host_bucket"],
@@ -448,20 +456,20 @@ class CrawlEngine:
         hive-partitioned store to the touched buckets; sparse rounds
         read a handful of files."""
         from scraper_spark.functions.hashes import bucket_col as _bucket
-        from scraper_spark.sources.fixtures import N_IMAGE_BUCKETS
 
+        n_buckets = self.n_image_buckets
         with_img = fetched.where(
             (F.col("status") == STATUS_OK) & F.col("image_id").isNotNull()
         ).select(
             "canon_url",
             "image_id",
             "caption",
-            _bucket(F.col("image_id"), N_IMAGE_BUCKETS).cast("int").alias("pbucket"),
+            _bucket(F.col("image_id"), n_buckets).cast("int").alias("pbucket"),
         )
         store = self.spark.read.parquet(self.images_path).select(
             "image_id", "bytes", "fmt", F.col("pbucket").cast("int").alias("pbucket")
         )
-        pruned = pbuckets is not None and len(pbuckets) < N_IMAGE_BUCKETS
+        pruned = pbuckets is not None and len(pbuckets) < n_buckets
         if pruned:
             store = store.where(F.col("pbucket").isin(sorted(pbuckets)))
         # inner join is exact here: the store holds every fetched
@@ -593,7 +601,6 @@ class CrawlEngine:
             # a single job over the cached fetch (ADVICE r01: fewer
             # fixed-latency jobs per round)
             from scraper_spark.functions.hashes import bucket_col as _bucket
-            from scraper_spark.sources.fixtures import N_IMAGE_BUCKETS
 
             will_exhaust = is_transient & exhausted
             stats_agg = (
@@ -601,7 +608,7 @@ class CrawlEngine:
                 .agg(
                     F.count("*").alias("n"),
                     F.collect_set(
-                        _bucket(F.col("image_id"), N_IMAGE_BUCKETS).cast("int")
+                        _bucket(F.col("image_id"), self.n_image_buckets).cast("int")
                     ).alias("pb"),
                 )
                 .select(

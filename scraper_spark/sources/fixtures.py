@@ -162,6 +162,22 @@ def write_image_store(images_df: pd.DataFrame, path: str) -> None:
         max_rows_per_group=1_000,
         min_rows_per_group=200,
     )
+    # the bucket modulus travels WITH the corpus: the engine's payload
+    # join derives pbucket on its probe side and a modulus mismatch
+    # (e.g. a corpus generated before a constant change) would silently
+    # drop most images from the inner join
+    with open(os.path.join(path, "_store_meta.json"), "w") as f:
+        json.dump({"n_buckets": N_IMAGE_BUCKETS}, f)
+
+
+def store_bucket_count(path: str) -> int:
+    """Bucket modulus of an image store dir; corpora predating the
+    meta file were generated with the historical 64."""
+    try:
+        with open(os.path.join(path, "_store_meta.json")) as f:
+            return int(json.load(f)["n_buckets"])
+    except (FileNotFoundError, KeyError, ValueError):
+        return 64
 
 
 def generate(

@@ -90,6 +90,13 @@ class TableIO:
         return self._write(df, "overwrite", partition_by)
 
     @staticmethod
+    def _has_parquet(d: str) -> bool:
+        for dirpath, _, files in os.walk(d):
+            if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
+
+    @staticmethod
     def _is_hive_dir(d: str) -> bool:
         try:
             return any("=" in e and os.path.isdir(os.path.join(d, e))
@@ -120,7 +127,10 @@ class TableIO:
         An empty/absent table returns an empty DataFrame when ``schema``
         (or any committed snapshot schema) is available.
         """
-        dirs = self._dirs_as_of(as_of)
+        # a zero-row dynamic-partition write emits no parquet files at
+        # all (just _SUCCESS) — such snapshots carry no schema and must
+        # not reach spark.read.parquet, which would fail to infer one
+        dirs = [d for d in self._dirs_as_of(as_of) if self._has_parquet(d)]
         if dirs:
             if len(dirs) == 1 or not any(self._is_hive_dir(d) for d in dirs):
                 # unpartitioned snapshots: ONE scan node over all dirs

@@ -54,3 +54,19 @@ def test_empty_read_with_schema(spark, tmp_path):
     assert df.count() == 0
     with pytest.raises(ValueError):
         TableIO(str(tmp_path / "t7")).read(spark)
+
+
+def test_empty_partitioned_overwrite_readable(spark, tmp_path):
+    """A zero-row dynamic-partition overwrite writes NO parquet files
+    (just _SUCCESS); reads must fall back to the manifest schema
+    instead of failing parquet schema inference — the empty-frontier
+    compaction path (code-review r02 finding)."""
+    from scraper_spark.sources.tableio import TableIO
+
+    t = TableIO(str(tmp_path / "t"))
+    df = spark.createDataFrame([(1, "a")], "b int, s string")
+    t.overwrite(df, partition_by=["b"])
+    t.overwrite(df.where("b < 0"), partition_by=["b"])  # zero rows
+    out = t.read(spark)
+    assert out.count() == 0
+    assert set(out.columns) == {"b", "s"}
