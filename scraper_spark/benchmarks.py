@@ -76,34 +76,47 @@ def ensure_fixture(path: str = BENCH_FIXTURE) -> str:
     return path
 
 
-def _probe_work(seconds: float) -> int:
-    import numpy as np
-
-    rng = np.random.default_rng(0)
-    a = rng.random((256, 256))
-    t0 = time.monotonic()
-    n = 0
-    while time.monotonic() - t0 < seconds:
-        a = np.tanh(a @ a.T * 1e-4)
-        n += 1
-    return n
+_PROBE_SRC = """
+import os, time, sys
+import numpy as np
+rng = np.random.default_rng(0)
+a = rng.random((256, 256))
+t0 = time.monotonic(); n = 0
+while time.monotonic() - t0 < float(sys.argv[1]):
+    a = np.tanh(a @ a.T * 1e-4); n += 1
+print(n)
+"""
 
 
 def cpu_scaling_probe(seconds: float = 4.0) -> float:
-    """Measured 2→8-proc scaling efficiency of PURE numpy
-    multiprocessing (no Spark): the physical ceiling any engine could
-    reach on this box right now. This shared VM has multi-minute
-    host-throttle windows where 8 concurrent processes each get ~50 %
-    of the 2-proc per-process rate (probe measured 0.47 during one,
-    ≥ 0.9 in clean windows) — during such a window NO dataflow can
-    show 4× scaling, so the bench records this envelope next to its
-    own numbers and waits (bounded) for a clean window."""
-    from multiprocessing import Pool
+    """Measured 2→8-proc scaling efficiency of PURE numpy work (no
+    Spark): the physical ceiling any engine could reach on this box
+    right now. Each worker is a FRESH subprocess with BLAS pinned to 1
+    thread — a fork-based pool inherits the parent's already-
+    initialized OpenBLAS pool (32 threads/proc on this box), and 8×32
+    threads thrashing 32 cores reads ~0.45 'scaling' that measures the
+    oversubscription, not the host."""
+    import subprocess
 
+    env = dict(os.environ)
+    for var in (
+        "OMP_NUM_THREADS",
+        "OPENBLAS_NUM_THREADS",
+        "MKL_NUM_THREADS",
+        "NUMEXPR_NUM_THREADS",
+        "VECLIB_MAXIMUM_THREADS",
+    ):
+        env[var] = "1"
     totals = {}
     for procs in (2, 8):
-        with Pool(procs) as p:
-            totals[procs] = sum(p.map(_probe_work, [seconds] * procs))
+        ps = [
+            subprocess.Popen(
+                [sys.executable, "-c", _PROBE_SRC, str(seconds)],
+                stdout=subprocess.PIPE, env=env, text=True,
+            )
+            for _ in range(procs)
+        ]
+        totals[procs] = sum(int(p.communicate()[0].strip()) for p in ps)
     return round(totals[8] / (4.0 * totals[2]), 3)
 
 

@@ -171,13 +171,32 @@ def write_image_store(images_df: pd.DataFrame, path: str) -> None:
 
 
 def store_bucket_count(path: str) -> int:
-    """Bucket modulus of an image store dir; corpora predating the
-    meta file were generated with the historical 64."""
+    """Bucket modulus of an image store dir.
+
+    Prefers the meta file; for corpora predating it, infers from the
+    hive layout: md5-uniform ids populate EVERY bucket on any non-toy
+    corpus, so when the pbucket= dirs are dense (count == max+1) the
+    dir count IS the modulus. A wrong guess here silently drops rows
+    from the payload inner join (observed: a 256-bucket corpus read
+    with a 64 guess lost 75 % of images and inflated bench throughput
+    2.4×), so density inference beats a hardcoded historical default;
+    64 remains the last-resort fallback for sparse meta-less stores."""
     try:
         with open(os.path.join(path, "_store_meta.json")) as f:
             return int(json.load(f)["n_buckets"])
     except (FileNotFoundError, KeyError, ValueError):
-        return 64
+        pass
+    try:
+        vals = sorted(
+            int(e.split("=", 1)[1])
+            for e in os.listdir(path)
+            if e.startswith("pbucket=")
+        )
+    except (FileNotFoundError, NotADirectoryError, ValueError):
+        vals = []
+    if vals and vals[-1] + 1 == len(vals):
+        return len(vals)
+    return 64
 
 
 def generate(

@@ -70,3 +70,25 @@ def test_empty_partitioned_overwrite_readable(spark, tmp_path):
     out = t.read(spark)
     assert out.count() == 0
     assert set(out.columns) == {"b", "s"}
+
+
+def test_store_bucket_count_meta_inference(tmp_path):
+    import json as _json
+    import os as _os
+
+    from scraper_spark.sources.fixtures import store_bucket_count
+
+    # 1) meta wins
+    d = tmp_path / "withmeta"; d.mkdir()
+    (d / "_store_meta.json").write_text(_json.dumps({"n_buckets": 256}))
+    assert store_bucket_count(str(d)) == 256
+    # 2) dense hive layout infers the modulus
+    d2 = tmp_path / "dense"; d2.mkdir()
+    for i in range(128):
+        _os.makedirs(d2 / f"pbucket={i}")
+    assert store_bucket_count(str(d2)) == 128
+    # 3) sparse meta-less layout falls back to the historical 64
+    d3 = tmp_path / "sparse"; d3.mkdir()
+    for i in (0, 3, 9):
+        _os.makedirs(d3 / f"pbucket={i}")
+    assert store_bucket_count(str(d3)) == 64
