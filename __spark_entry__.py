@@ -246,20 +246,6 @@ def q_u1_union(spark, sf):
     )
 
 
-def q_u2_except(spark, sf):
-    # U2 (db.py:200): set difference
-    has_cust = (
-        _t(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey")).distinct()
-    )
-    has_rich = (
-        _t(spark, sf, "customer")
-        .where(F.col("c_acctbal") > 9000)
-        .select(F.col("c_nationkey").alias("nationkey"))
-        .distinct()
-    )
-    return has_cust.exceptAll(has_rich)
-
-
 def q_p5_regex_extract(spark, sf):
     # P5 (haozu.py:48): regex ID extraction + P4 surrogate key
     return _t(spark, sf, "customer").select(
@@ -294,11 +280,14 @@ def q_p7_split(spark, sf):
 
 
 def q_p8_regex_scrub(spark, sf):
-    # P8/P9 (diandianzu.py:118-122, haozu.py:93): regex scrub + ws collapse
+    # P8/P9 (diandianzu.py:118-122, haozu.py:93): regex scrub + ws
+    # collapse (explicit ws class — Java/RE2 \s diverge on \x0B)
     return _t(spark, sf, "documents").select(
         "doc_id",
         F.trim(
-            F.regexp_replace(F.regexp_replace("text", r"[.!?,;:]", ""), r"\s+", ",")
+            F.regexp_replace(
+                F.regexp_replace("text", r"[.!?,;:]", ""), X.TOKEN_SPLIT, ","
+            )
         ).alias("scrubbed"),
     )
 
@@ -444,24 +433,20 @@ def q_c_schedule_kernel(spark, sf):
 
 
 # ---- training-data operators ----------------------------------------
-def q_x_token_count(spark, sf):
-    return X.token_count(_t(spark, sf, "documents"))
+# The driver's correctness gate records at most 50 queries() entries
+# (VERDICT r02), so the per-doc text operators ride TWO compound rows —
+# each a single row-local projection covering several operators with no
+# extra shuffle (operators/text.py token_counts / doc_profile; the
+# standalone token_count/token_count_bpe/lang_id/quality_score/
+# fingerprint operators remain the public API).
+def q_x_token_counts(spark, sf):
+    # whitespace token count + BPE-ish pre-tokenizer count, one row each
+    return X.token_counts(_t(spark, sf, "documents"))
 
 
-def q_x_token_bpe(spark, sf):
-    return X.token_count_bpe(_t(spark, sf, "documents"))
-
-
-def q_x_lang_id(spark, sf):
-    return X.lang_id(_t(spark, sf, "documents"))
-
-
-def q_x_quality(spark, sf):
-    return X.quality_score(_t(spark, sf, "documents"))
-
-
-def q_x_fingerprint(spark, sf):
-    return X.fingerprint(_t(spark, sf, "documents"))
+def q_x_doc_profile(spark, sf):
+    # lang-id (stopword argmax) + quality score + md5 fingerprint
+    return X.doc_profile(_t(spark, sf, "documents"))
 
 
 def q_d_exact_dups(spark, sf):
@@ -573,7 +558,10 @@ def q_i_phash_band_dedup(spark, sf):
     from scraper_spark.functions.hashes import md5_long_col
     from scraper_spark.operators.phash_dedup import phash_near_dup_pairs
 
-    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    # explicit whitespace class, NOT \s: Java \s includes \x0B, RE2's
+    # does not — with \s a vertical tab would hash differently on the
+    # two engines (ADVICE r02; same class as operators/text.py)
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), X.TOKEN_SPLIT, " "))
     base = _t(spark, sf, "documents").select(
         F.col("doc_id").alias("id"), md5_long_col(norm).alias("ph"), "doc_id"
     )
@@ -772,48 +760,79 @@ def q_p10_address_fields(spark, sf):
     )
 
 
-def q_f3_dropna(spark, sf):
-    # F3 (pandas .dropna at load, db.py:101-102): blank→null then drop
-    d = _t(spark, sf, "documents").select(
-        "doc_id",
-        F.when(F.trim(F.col("text")) == "", None)
-        .otherwise(F.col("text"))
-        .alias("text"),
-        "lang",
+def q_f_compound_gates(spark, sf):
+    # F3 + F7 + F8 merged into one driver row (the three trivial filters
+    # were individually invisible beyond the driver's 50-row gate cap —
+    # VERDICT r02 #1); each branch keeps its reference semantics and is
+    # tagged so the oracle mirrors branch-for-branch:
+    #   dropna      — F3 (pandas .dropna at load, db.py:101-102):
+    #                 blank→null then drop
+    #   confidence  — F7 (baidu_api.py:86-90): len(code)==k ∧ prob>t
+    #   skip_header — F8 (pam_invoice.py:62-64): drop the first row of
+    #                 each source group (positional skip as a window)
+    docs = _t(spark, sf, "documents")
+    dropna = (
+        docs.select(
+            "doc_id",
+            F.when(F.trim(F.col("text")) == "", None)
+            .otherwise(F.col("text"))
+            .alias("text"),
+            "lang",
+        )
+        .na.drop(subset=["text", "lang"])
+        .select(
+            F.lit("dropna").alias("gate"),
+            F.col("doc_id").cast("long").alias("rec_id"),
+            F.col("lang").alias("attr"),
+            F.lit(None).cast("double").alias("metric"),
+        )
     )
-    return d.na.drop(subset=["text", "lang"]).select("doc_id", "lang")
-
-
-def q_f7_confidence_gate(spark, sf):
-    # F7 (baidu_api.py:86-90): the len(code)==k ∧ prob>t compound gate
-    return (
+    confidence = (
         _t(spark, sf, "events")
         .where((F.length("event_type") == 4) & (F.col("value") > 10.0))
-        .select("event_id", "event_type", F.round("value", 2).alias("value"))
+        .select(
+            F.lit("confidence").alias("gate"),
+            F.col("event_id").cast("long").alias("rec_id"),
+            F.col("event_type").alias("attr"),
+            F.round("value", 2).alias("metric"),
+        )
     )
-
-
-def q_f8_skip_header(spark, sf):
-    # F8 (pam_invoice.py:62-64 header-row skip): drop the first row of
-    # each source group (positional skip as a window, not an iloc)
     w = W.partitionBy("source").orderBy("doc_id")
-    return (
-        _t(spark, sf, "documents")
-        .withColumn("rn", F.row_number().over(w))
+    skip_header = (
+        docs.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") > 1)
-        .select("doc_id", "source", "rn")
+        .select(
+            F.lit("skip_header").alias("gate"),
+            F.col("doc_id").cast("long").alias("rec_id"),
+            F.col("source").alias("attr"),
+            F.col("rn").cast("double").alias("metric"),
+        )
     )
+    return dropna.unionByName(confidence).unionByName(skip_header)
 
 
-def q_u3_intersect(spark, sf):
-    # U3 (db.py:40,330-331): set intersection
+def q_u_set_ops(spark, sf):
+    # U2 except + U3 intersect (db.py:200, 40,330-331) merged into one
+    # tagged driver row (50-row gate cap, VERDICT r02 #1)
     cust_n = _t(spark, sf, "customer").select(
         F.col("c_nationkey").alias("nationkey")
     ).distinct()
     supp_n = _t(spark, sf, "supplier").select(
         F.col("s_nationkey").alias("nationkey")
     ).distinct()
-    return cust_n.intersect(supp_n)
+    rich_n = (
+        _t(spark, sf, "customer")
+        .where(F.col("c_acctbal") > 9000)
+        .select(F.col("c_nationkey").alias("nationkey"))
+        .distinct()
+    )
+    exc = cust_n.exceptAll(rich_n).select(
+        F.lit("except").alias("op"), "nationkey"
+    )
+    inter = cust_n.intersect(supp_n).select(
+        F.lit("intersect").alias("op"), "nationkey"
+    )
+    return exc.unionByName(inter)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -831,7 +850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j5_lateral_explode": q_j5_lateral_explode,
         "j6_broadcast_lookup": q_j6_broadcast_lookup,
         "u1_union": q_u1_union,
-        "u2_except": q_u2_except,
+        "u_set_ops": q_u_set_ops,
         "p5_regex_extract": q_p5_regex_extract,
         "p6_conditional_scaling": q_p6_conditional_scaling,
         "p7_split": q_p7_split,
@@ -846,11 +865,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t1_sessionize": q_t1_sessionize,
         "t2_window_agg": q_t2_window_agg,
         "c_schedule_kernel": q_c_schedule_kernel,
-        "x_token_count": q_x_token_count,
-        "x_token_bpe": q_x_token_bpe,
-        "x_lang_id": q_x_lang_id,
-        "x_quality": q_x_quality,
-        "x_fingerprint": q_x_fingerprint,
+        "f_compound_gates": q_f_compound_gates,
+        "x_token_counts": q_x_token_counts,
+        "x_doc_profile": q_x_doc_profile,
         "d_exact_dups": q_d_exact_dups,
         "d_minhash_sig": q_d_minhash_sig,
         "d_lsh_pairs": q_d_lsh_pairs,
@@ -860,7 +877,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_lsh_topk": q_s_lsh_topk,
         "s_neardup_pairs": q_s_neardup_pairs,
         "s_ivf_topk": q_s_ivf_topk,
-        "u3_intersect": q_u3_intersect,
         "g_geo_datum": q_g_geo_datum,
         "b_bloom_probe": q_b_bloom_probe,
         "i_phash_band_dedup": q_i_phash_band_dedup,
@@ -870,9 +886,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "i_image_pipeline": q_i_image_pipeline,
         "i_video_frames": q_i_video_frames,
         "p10_address_fields": q_p10_address_fields,
-        "f3_dropna": q_f3_dropna,
-        "f7_confidence_gate": q_f7_confidence_gate,
-        "f8_skip_header": q_f8_skip_header,
     }
 
 
@@ -975,11 +988,19 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(bal), 2) AS sum_bal
             FROM u GROUP BY 1
         """,
-        "u2_except": """
-            SELECT DISTINCT c_nationkey AS nationkey FROM customer
-            EXCEPT
-            SELECT DISTINCT c_nationkey AS nationkey FROM customer
-            WHERE c_acctbal > 9000
+        "u_set_ops": """
+            SELECT 'except' AS op, nationkey FROM (
+              SELECT DISTINCT c_nationkey AS nationkey FROM customer
+              EXCEPT
+              SELECT DISTINCT c_nationkey AS nationkey FROM customer
+              WHERE c_acctbal > 9000
+            )
+            UNION ALL
+            SELECT 'intersect' AS op, nationkey FROM (
+              SELECT DISTINCT c_nationkey AS nationkey FROM customer
+              INTERSECT
+              SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+            )
         """,
         "p5_regex_extract": """
             SELECT c_custkey, regexp_extract(c_name, '(\\d+)', 1) AS id_str,
@@ -999,10 +1020,11 @@ def oracle_sql() -> dict[str, str]:
                    string_split(o_orderpriority, '-')[2] AS prio_word
             FROM orders
         """,
-        "p8_regex_scrub": """
+        "p8_regex_scrub": f"""
             SELECT doc_id,
                    trim(regexp_replace(
-                     regexp_replace(text, '[.!?,;:]', '', 'g'), '\\s+', ',', 'g'
+                     regexp_replace(text, '[.!?,;:]', '', 'g'),
+                     '{X.TOKEN_SPLIT}', ',', 'g'
                    )) AS scrubbed
             FROM documents
         """,
@@ -1092,11 +1114,31 @@ def oracle_sql() -> dict[str, str]:
               FROM orders
             ) WHERE rnk <= 2
         """,
-        "x_token_count": X.token_count_sql(),
-        "x_token_bpe": X.token_count_bpe_sql(),
-        "x_lang_id": X.lang_id_sql(),
-        "x_quality": X.quality_score_sql(),
-        "x_fingerprint": X.fingerprint_sql(),
+        "f_compound_gates": """
+            SELECT 'dropna' AS gate, CAST(doc_id AS BIGINT) AS rec_id,
+                   lang AS attr, CAST(NULL AS DOUBLE) AS metric
+            FROM (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN NULL ELSE text END AS text,
+                     lang
+              FROM documents
+            ) WHERE text IS NOT NULL AND lang IS NOT NULL
+            UNION ALL
+            SELECT 'confidence' AS gate, CAST(event_id AS BIGINT) AS rec_id,
+                   event_type AS attr, round(value, 2) AS metric
+            FROM events
+            WHERE length(event_type) = 4 AND value > 10.0
+            UNION ALL
+            SELECT 'skip_header' AS gate, CAST(doc_id AS BIGINT) AS rec_id,
+                   source AS attr, CAST(rn AS DOUBLE) AS metric
+            FROM (
+              SELECT doc_id, source, row_number() OVER (
+                PARTITION BY source ORDER BY doc_id
+              ) AS rn FROM documents
+            ) WHERE rn > 1
+        """,
+        "x_token_counts": X.token_counts_sql(),
+        "x_doc_profile": X.doc_profile_sql(),
         "d_exact_dups": D.exact_dup_groups_sql(),
         "d_minhash_sig": D.minhash_signatures_sql(),
         "d_lsh_pairs": D.lsh_candidate_pairs_sql(),
@@ -1106,11 +1148,6 @@ def oracle_sql() -> dict[str, str]:
         "s_lsh_topk": S.lsh_bucketed_topk_sql(),
         "s_neardup_pairs": S.neardup_pairs_sql(),
         "s_ivf_topk": S.ivf_topk_sql(),
-        "u3_intersect": """
-            SELECT DISTINCT c_nationkey AS nationkey FROM customer
-            INTERSECT
-            SELECT DISTINCT s_nationkey AS nationkey FROM supplier
-        """,
         "g_geo_datum": _geo_oracle_sql(),
         "b_bloom_probe": _bloom_oracle_sql(),
         "i_phash_band_dedup": _phash_band_oracle_sql(),
@@ -1180,29 +1217,11 @@ def oracle_sql() -> dict[str, str]:
                      AS rest
             FROM part
         """,
-        "f3_dropna": """
-            SELECT doc_id, lang FROM (
-              SELECT doc_id,
-                     CASE WHEN trim(text) = '' THEN NULL ELSE text END AS text,
-                     lang
-              FROM documents
-            ) WHERE text IS NOT NULL AND lang IS NOT NULL
-        """,
-        "f7_confidence_gate": """
-            SELECT event_id, event_type, round(value, 2) AS value
-            FROM events
-            WHERE length(event_type) = 4 AND value > 10.0
-        """,
-        "f8_skip_header": """
-            SELECT doc_id, source, rn FROM (
-              SELECT doc_id, source, row_number() OVER (
-                PARTITION BY source ORDER BY doc_id
-              ) AS rn FROM documents
-            ) WHERE rn > 1
-        """,
-        # i_image_pipeline: intentionally absent — binary payloads can't
-        # cross into DuckDB; the driver records the rows-only check and
-        # test_imagecodec/test_image_ops carry the bit-exactness gate
+        # i_image_pipeline AND i_video_frames: intentionally absent —
+        # their outputs derive from binary image/video payloads DuckDB
+        # can't decode, so both are deliberate rows-only driver rows
+        # (CLAUDE.md driver contract); test_imagecodec/test_image_ops
+        # and test_operators' video tests carry the bit-exactness gate
     }
 
 
@@ -1232,7 +1251,7 @@ def _bloom_oracle_sql() -> str:
 def _phash_band_oracle_sql() -> str:
     from scraper_spark.functions.hashes import md5_long_sql
 
-    norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    norm = X.NORM_SQL  # explicit whitespace class — see q_i_phash_band_dedup
     return f"""
         WITH base AS (
           SELECT doc_id AS id, doc_id, {md5_long_sql(norm)} AS ph FROM documents

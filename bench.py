@@ -29,8 +29,8 @@ HEADLINE = [
     "w_running_sum",
     "t1_sessionize",
     "t2_window_agg",
-    "x_quality",
-    "x_lang_id",
+    "x_token_counts",
+    "x_doc_profile",
     "d_exact_dups",
     "d_minhash_sig",
     "d_simhash",

@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W, functions as F
 
 from scraper_spark.functions.hashes import md5_long_col, md5_long_sql
-from scraper_spark.operators.text import tokens_col, tokens_sql
+from scraper_spark.operators.text import TOKEN_SPLIT, WS_CLASS, tokens_col, tokens_sql
 
 # 64 permutations in bands of 8 → LSH threshold (1/b)^(1/r) =
 # (1/8)^(1/8) ≈ 0.77: only genuinely-near docs collide. (Round 1 ran
@@ -48,7 +48,7 @@ _H2_MASK = (1 << 50) - 1  # keeps h1 + 63*h2 < 2^61 — no int64 overflow
 # ---------------------------------------------------------------- exact ----
 def exact_dup_groups(docs: DataFrame) -> DataFrame:
     """Groups of byte-identical (normalized) texts with multiplicity."""
-    norm = F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")))
+    norm = F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), TOKEN_SPLIT, " ")))
     return (
         docs.select(norm.alias("content_key"), "doc_id")
         .groupBy("content_key")
@@ -60,7 +60,7 @@ def exact_dup_groups(docs: DataFrame) -> DataFrame:
 
 
 def exact_dup_groups_sql() -> str:
-    norm = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
+    norm = f"md5(trim(regexp_replace(lower(text), '[{WS_CLASS}]+', ' ', 'g')))"
     return f"""
         SELECT {norm} AS content_key, count(*) AS n_copies,
                min(doc_id) AS keeper_doc_id
@@ -259,9 +259,9 @@ def lsh_candidate_pairs_sql(min_jaccard: float = MIN_JACCARD) -> str:
 
 # --------------------------------------------------------------- simhash ---
 def simhash(docs: DataFrame) -> DataFrame:
-    """16-bit SimHash: per word-occurrence md5-derived bit votes,
-    summed per doc, sign → bit. Entirely built-in expressions: one
-    explode + one groupBy."""
+    """60-bit SimHash (SIMHASH_BITS — the widest md5-parity width):
+    per word-occurrence md5-derived bit votes, summed per doc, sign →
+    bit. Entirely built-in expressions: one explode + one groupBy."""
     words = docs.select(
         "doc_id", F.explode(tokens_col(F.lower(F.col("text")))).alias("word")
     )

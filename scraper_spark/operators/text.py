@@ -18,7 +18,15 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-TOKEN_SPLIT = r"\s+"
+# Explicit whitespace class shared by EVERY tokenizer/normalizer in the
+# engine. Never use \s in a parity-critical regex: Java's \s includes
+# \x0B (vertical tab) and RE2/DuckDB's does not, so a document
+# containing \x0B would tokenize (and therefore hash) differently on
+# the two engines (ADVICE r02).
+_WS = r" \t\n\r\f\x0B"
+WS_CLASS = _WS  # public alias for other modules (dedup, entry, ...)
+
+TOKEN_SPLIT = rf"[{_WS}]+"
 
 # language → (Java regex, RE2/DuckDB regex) stopword-hit patterns.
 # Same alternation, engine-appropriate CJK escape.
@@ -62,12 +70,8 @@ def token_count_sql() -> str:
 
 # GPT-2-style pre-tokenizer shape: contractions, letter runs, digit
 # runs, punctuation runs, residual whitespace. Written in the syntax
-# subset Java regex and RE2/DuckDB share (\p{L}/\p{N} classes), so the
-# count is engine-identical. Whitespace is an EXPLICIT class, not \s:
-# Java's \s includes \x0B (vertical tab) and RE2's does not — with \s
-# a \x0B in the text counts as a token piece in DuckDB but whitespace
-# in Spark.
-_WS = r" \t\n\r\f\x0B"
+# subset Java regex and RE2/DuckDB share (\p{L}/\p{N} classes, the
+# explicit _WS whitespace class), so the count is engine-identical.
 BPE_PATTERN = (
     r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+"
     rf"| ?[^{_WS}\p{{L}}\p{{N}}]+|[{_WS}]+"
@@ -192,7 +196,7 @@ def fingerprint(docs: DataFrame) -> DataFrame:
     """Normalization fingerprint: md5 over lowercased, whitespace-
     collapsed text (content-hash row id — the engine's replacement for
     the reference's NEWID() row ids, handlers/db.py:97-99, K2)."""
-    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), TOKEN_SPLIT, " "))
     return docs.select(
         "doc_id",
         F.md5(norm).alias("fp"),
@@ -200,9 +204,120 @@ def fingerprint(docs: DataFrame) -> DataFrame:
     )
 
 
+NORM_SQL = f"trim(regexp_replace(lower(text), '[{_WS}]+', ' ', 'g'))"
+
+
 def fingerprint_sql() -> str:
-    norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
     return f"""
-        SELECT doc_id, md5({norm}) AS fp, substr(md5({norm}), 1, 8) AS fp_short
+        SELECT doc_id, md5({NORM_SQL}) AS fp, substr(md5({NORM_SQL}), 1, 8) AS fp_short
         FROM documents
+    """
+
+
+# --------------------------------------------------- merged driver rows
+# One driver CORRECTNESS row per operator is the bar, but the driver
+# records at most 50 queries() entries (VERDICT r02) — these compound
+# queries cover several per-doc text operators in ONE projection each
+# (no join, no shuffle: every metric is a row-local expression), so the
+# whole text family fits inside the gate without losing any operator.
+def token_counts(docs: DataFrame) -> DataFrame:
+    """Whitespace + BPE-ish token counts in one projection (the
+    token_count and token_count_bpe operators, merged)."""
+    pieces = F.regexp_extract_all(F.col("text"), F.lit(BPE_PATTERN), 0)
+    non_ws = F.filter(pieces, lambda p: ~p.rlike(rf"^[{_WS}]+$"))
+    return docs.select(
+        "doc_id",
+        F.size(tokens_col(F.col("text"))).alias("n_tokens"),
+        F.length("text").alias("n_chars_seen"),
+        F.size(non_ws).alias("n_bpe_tokens"),
+    )
+
+
+def token_counts_sql() -> str:
+    pat = BPE_PATTERN.replace("'", "''")
+    return f"""
+        SELECT doc_id,
+               len({tokens_sql('text')}) AS n_tokens,
+               length(text) AS n_chars_seen,
+               len(list_filter(regexp_extract_all(text, '{pat}'),
+                   p -> NOT regexp_matches(p, '^[{_WS}]+$'))) AS n_bpe_tokens
+        FROM documents
+    """
+
+
+def doc_profile(docs: DataFrame) -> DataFrame:
+    """Language-ID + quality score + fingerprint in one projection (the
+    lang_id, quality_score and fingerprint operators, merged)."""
+    toks = tokens_col(F.col("text"))
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), TOKEN_SPLIT, " "))
+    hit_cols = [
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(p_java), 0)).alias(f"hits_{lang}")
+        for lang, p_java, _ in _LANG_PATTERNS
+    ]
+    base = docs.select(
+        "doc_id",
+        "lang",
+        *hit_cols,
+        F.size(toks).alias("n_tok"),
+        F.length("text").alias("n_char"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(PUNCT), 0)).alias("punct"),
+        F.md5(norm).alias("fp"),
+    )
+    best = F.greatest(*[F.col(f"hits_{lang}") for lang, _, _ in _LANG_PATTERNS])
+    pred = F.lit("und")
+    for lang, _, _ in reversed(_LANG_PATTERNS):
+        pred = F.when(
+            (F.col(f"hits_{lang}") == best) & (best > 0), F.lit(lang)
+        ).otherwise(pred)
+    n_tok, n_char, punct = F.col("n_tok"), F.col("n_char"), F.col("punct")
+    avg_tok = F.when(n_tok > 0, n_char.cast("double") / n_tok).otherwise(F.lit(0.0))
+    score = (
+        F.least(n_tok.cast("double") / F.lit(50.0), F.lit(1.0)) * 0.5
+        + F.when((avg_tok >= 3.0) & (avg_tok <= 12.0), F.lit(0.3)).otherwise(F.lit(0.0))
+        + F.least(punct.cast("double") / F.lit(5.0), F.lit(1.0)) * 0.2
+    )
+    return base.select(
+        "doc_id",
+        F.col("lang").alias("true_lang"),
+        pred.alias("pred_lang"),
+        *[f"hits_{lang}" for lang, _, _ in _LANG_PATTERNS],
+        n_tok.alias("n_tokens"),
+        punct.alias("n_punct"),
+        F.round(avg_tok, 4).alias("avg_token_len"),
+        F.round(score, 4).alias("quality"),
+        "fp",
+        F.substring("fp", 1, 8).alias("fp_short"),
+    )
+
+
+def doc_profile_sql() -> str:
+    langs = [lang for lang, _, _ in _LANG_PATTERNS]
+    hits = ",\n".join(
+        f"len(regexp_extract_all(text, '{p_re2}')) AS hits_{lang}"
+        for lang, _, p_re2 in _LANG_PATTERNS
+    )
+    best = f"greatest({', '.join('hits_' + l for l in langs)})"
+    case = "CASE " + " ".join(
+        f"WHEN hits_{l} = {best} AND {best} > 0 THEN '{l}'" for l in langs
+    ) + " ELSE 'und' END"
+    avg = "CASE WHEN n_tok > 0 THEN CAST(n_char AS DOUBLE)/n_tok ELSE 0.0 END"
+    return f"""
+        WITH b AS (
+          SELECT doc_id, lang, {hits},
+                 len({tokens_sql('text')}) AS n_tok,
+                 length(text) AS n_char,
+                 len(regexp_extract_all(text, '{PUNCT}')) AS punct,
+                 md5({NORM_SQL}) AS fp
+          FROM documents
+        )
+        SELECT doc_id, lang AS true_lang, {case} AS pred_lang,
+               {', '.join('hits_' + l for l in langs)},
+               n_tok AS n_tokens, punct AS n_punct,
+               round({avg}, 4) AS avg_token_len,
+               round(
+                 least(CAST(n_tok AS DOUBLE)/50.0, 1.0) * 0.5
+                 + CASE WHEN ({avg}) BETWEEN 3.0 AND 12.0 THEN 0.3 ELSE 0.0 END
+                 + least(CAST(punct AS DOUBLE)/5.0, 1.0) * 0.2, 4) AS quality,
+               fp, substr(fp, 1, 8) AS fp_short
+        FROM b
     """
