@@ -634,7 +634,10 @@ def q_p11_attrs_map(spark, sf):
 def q_s3_paginated_enrich(spark, sf):
     # S3 (default_api.py:59-114): page += 1 until short page, ref_*
     # carry-through, explode_outer for empty results — the reusable
-    # operator (operators/enrich.py); the "API" is orders paged by 8
+    # operator (operators/enrich.py); the "API" is orders paged by 8.
+    # counts mode: the client reports per-key result counts, so the
+    # whole enrichment is ONE lazy dataflow — no per-page isEmpty
+    # actions, no page caches (VERDICT r02 #8)
     from scraper_spark.operators.enrich import enrich_paginated
 
     orders = _t(spark, sf, "orders")
@@ -643,6 +646,9 @@ def q_s3_paginated_enrich(spark, sf):
         F.col("c_mktsegment").alias("ref_segment"),
     )
     ps = 8
+    counts = orders.groupBy(
+        F.col("o_custkey").alias("ref_custkey")
+    ).agg(F.count("*").alias("n_results"))
 
     def fetch_page(active, page):
         w = W.partitionBy("o_custkey").orderBy("o_orderkey")
@@ -657,7 +663,9 @@ def q_s3_paginated_enrich(spark, sf):
             (F.col("rn") - page * ps).cast("int").alias("slot"),
         )
 
-    return enrich_paginated(requests, fetch_page, "ref_custkey", ps, max_pages=10)
+    return enrich_paginated(
+        requests, fetch_page, "ref_custkey", ps, max_pages=10, counts=counts
+    )
 
 
 def q_i_image_pipeline(spark, sf):

