@@ -61,6 +61,7 @@ from scraper_spark.functions.imagecodec import decode_image, phash64
 from scraper_spark.plans import seen as bloom
 from scraper_spark.plans.spec import (
     N_HOST_BUCKETS,
+    N_URL_BUCKETS,
     STATUS_MISSING,
     STATUS_OK,
     STATUS_TRANSIENT,
@@ -91,6 +92,11 @@ FRONTIER_DELTA_SCHEMA = T.StructType(
     ]
 )
 
+# url_bucket (md5 of canon_url mod N_URL_BUCKETS) is the hive
+# partition key of the stored log: the seen set is DERIVED from this
+# table, so bucketing the log buckets the seen set — the per-round
+# dedup anti-join reads only the url buckets its candidates touch
+# (Iceberg analog: PARTITIONED BY (bucket(N, canon_url))).
 LOG_SCHEMA = T.StructType(
     [
         T.StructField("seq", T.LongType(), False),
@@ -101,6 +107,7 @@ LOG_SCHEMA = T.StructType(
         T.StructField("depth", T.IntegerType(), True),
         T.StructField("discovery_time", T.IntegerType(), True),
         T.StructField("status", T.IntegerType(), True),
+        T.StructField("url_bucket", T.IntegerType(), True),
     ]
 )
 
@@ -165,6 +172,7 @@ class CrawlEngine:
         bloom_min_rows: int = 500_000,
         images_broadcast_max: int = 100_000,
         compact_every: int = 16,
+        seen_prune_min_rows: int = 1_000_000,
     ):
         self.spark = spark
         self.fixture_dir = fixture_dir
@@ -192,6 +200,14 @@ class CrawlEngine:
         # this many delta snapshots so read-side resolution stays O(1)
         # snapshots; between compactions per-round writes are O(delta)
         self.compact_every = compact_every
+        # below this many logged urls the full-seen anti-join is cheap
+        # and the bucket-pruned path's one extra per-round action (the
+        # ≤N_URL_BUCKETS-row touched-bucket collect over the already-
+        # persisted probe side) is pure latency; above it, pruning makes
+        # the per-round seen scan O(maybe-seen ∩ touched buckets)
+        # instead of O(seen). Tests pass 0 to force the pruned path;
+        # correctness is identical (test_seen_bucket_prune_invariant).
+        self.seen_prune_min_rows = seen_prune_min_rows
         self.pol = PolitenessConfig.load(os.path.join(fixture_dir, "politeness.json"))
         self.store_path = os.path.join(fixture_dir, "page_store.parquet")
         self.images_path = os.path.join(fixture_dir, "image_captions.parquet")
@@ -381,19 +397,31 @@ class CrawlEngine:
         self._bloom_bc = self.spark.sparkContext.broadcast(self._bloom_segments)
 
     # ------------------------------------------------------------ stages
-    def seen_df(self) -> DataFrame:
+    def seen_df(self, buckets: set[int] | None = None) -> DataFrame:
         """The exact URL-seen set, DERIVED from the crawl log + error
         table instead of materialized separately: seen = terminally
         fetched (log status != 503) ∪ retry-exhausted (fetch_errors).
         Parquet column pruning makes the derived read as cheap as a
         dedicated table and saves one table write per round; at real
-        scale the same projection is an Iceberg metadata-pruned scan."""
+        scale the same projection is an Iceberg metadata-pruned scan.
+
+        ``buckets`` restricts the read to those url_bucket hive
+        partitions (static partition pruning — only the touched files
+        are opened). Restriction is lossless for any consumer that
+        joins on canon_url against a probe side confined to the same
+        buckets: canon_url determines url_bucket, so no match can cross
+        a bucket boundary."""
+        prune = buckets is not None and len(buckets) < N_URL_BUCKETS
+        bfilter = F.col("url_bucket").isin(sorted(buckets)) if prune else None
         log = self.t_log.read(self.spark, schema=LOG_SCHEMA)
+        if prune:
+            log = log.where(bfilter)
         seen = log.where(F.col("status") != STATUS_TRANSIENT).select("canon_url")
         if self.t_errors.current_snapshot_id():
-            seen = seen.unionByName(
-                self.t_errors.read(self.spark).select("canon_url")
-            )
+            err = self.t_errors.read(self.spark)
+            if prune:
+                err = err.where(bfilter)
+            seen = seen.unionByName(err.select("canon_url"))
         return seen
 
     def _schedule(self, frontier: DataFrame, frontier_rows: int | None) -> DataFrame:
@@ -519,17 +547,35 @@ class CrawlEngine:
         return joined.mapInPandas(decode, IMAGES_SCHEMA)
 
     def _dedup_links(
-        self, links: DataFrame, known: DataFrame, seen_tbl: DataFrame
+        self,
+        links: DataFrame,
+        known: DataFrame,
+        seen_base: DataFrame,
+        terminal: DataFrame,
+        prune: bool = False,
     ) -> DataFrame:
-        """links − known-frontier − ``seen_tbl`` (Bloom prefilter on the
-        big anti-join; exactness always from the left_anti). The caller
-        passes seen explicitly — during a round it is the pre-round seen
-        set ∪ this round's terminal fetches, which lets the frontier
-        delta write run concurrently with the log append instead of
-        reading the just-committed log snapshot."""
+        """links − known-frontier − seen (Bloom prefilter on the big
+        anti-join; exactness always from the left_anti). The caller
+        passes the seen pieces explicitly — ``seen_base`` is the
+        pre-round seen set (dirs resolved before any concurrent append
+        commits) and ``terminal`` this round's terminal fetches, which
+        lets the frontier delta write run concurrently with the log
+        append instead of reading the just-committed log snapshot.
+
+        ``prune=True`` (gated on seen size by the caller) makes the
+        exact join BUCKET-LOCAL: collect the ≤N_URL_BUCKETS distinct
+        url buckets of the maybe-seen probe side (one bounded action
+        over the already-persisted marked frame) and re-derive the seen
+        side partition-pruned to exactly those buckets — per-round seen
+        I/O is O(touched buckets), not O(seen). Lossless: canon_url
+        determines url_bucket, so a probe row can only match seen rows
+        in its own bucket. Pruning rides the Bloom path — at the seen
+        sizes where it matters the Bloom prefilter is always active."""
         fresh = links.join(known.select("canon_url"), "canon_url", "left_anti")
         if not (self.use_bloom and self._bloom_segments):
-            return fresh.join(seen_tbl, "canon_url", "left_anti")
+            return fresh.join(
+                seen_base.unionByName(terminal), "canon_url", "left_anti"
+            )
         bc = self._bloom_bc
 
         def mark(batches):
@@ -545,12 +591,26 @@ class CrawlEngine:
         marked = fresh.mapInPandas(mark, schema + ", _maybe boolean").persist()
         self._round_persists.append(marked)
         definite = marked.where(~F.col("_maybe")).drop("_maybe")
-        maybe = (
-            marked.where(F.col("_maybe"))
-            .drop("_maybe")
-            .join(seen_tbl, "canon_url", "left_anti")
+        maybe = marked.where(F.col("_maybe")).drop("_maybe")
+        if prune:
+            touched = {
+                r["ub"]
+                for r in maybe.select(
+                    bucket_col(F.col("canon_url"), N_URL_BUCKETS)
+                    .cast("int")
+                    .alias("ub")
+                )
+                .distinct()
+                .collect()
+            }
+            # terminal stays unrestricted: its rows are genuinely seen
+            # and it is O(round) — only the big log-derived scan prunes
+            seen_join = self.seen_df(buckets=touched).unionByName(terminal)
+        else:
+            seen_join = seen_base.unionByName(terminal)
+        return definite.unionByName(
+            maybe.join(seen_join, "canon_url", "left_anti")
         )
-        return definite.unionByName(maybe)
 
     # ------------------------------------------------------------- round
     def run(self, max_rounds: int = 100_000) -> dict:
@@ -703,6 +763,9 @@ class CrawlEngine:
                     "depth",
                     "discovery_time",
                     F.col("status").cast("int"),
+                    bucket_col(F.col("canon_url"), N_URL_BUCKETS)
+                    .cast("int")
+                    .alias("url_bucket"),
                 ),
                 "host_bucket",
                 ["depth", "discovery_time", "canon_url"],
@@ -744,7 +807,13 @@ class CrawlEngine:
                 .agg(F.min("depth").cast("int").alias("depth"))
             )
             fresh = self._dedup_links(
-                links, known, seen_base.unionByName(terminal)
+                links,
+                known,
+                seen_base,
+                terminal,
+                # seq counts exactly the logged urls — a free, exact
+                # seen-size signal (no footer walk)
+                prune=seq >= self.seen_prune_min_rows,
             )
             fresh = (
                 fresh.withColumn("host", host_udf("canon_url"))
@@ -784,12 +853,36 @@ class CrawlEngine:
 
                 return run
 
-            jobs = [_timed("log", lambda: self.t_log.append(log))]
+            # log + errors are hive-partitioned by url_bucket (they are
+            # what the seen set derives from); the pre-write repartition
+            # confines each bucket to one task so a round adds at most
+            # N_URL_BUCKETS files, not tasks × buckets
+            jobs = [
+                _timed(
+                    "log",
+                    lambda: self.t_log.append(
+                        log.repartition(F.col("url_bucket")),
+                        partition_by=["url_bucket"],
+                    ),
+                )
+            ]
             if n_exhausted > 0:
                 errors = fetched.where(is_transient & exhausted).select(
-                    "canon_url", F.lit(rnd).cast("int").alias("round")
+                    "canon_url",
+                    F.lit(rnd).cast("int").alias("round"),
+                    bucket_col(F.col("canon_url"), N_URL_BUCKETS)
+                    .cast("int")
+                    .alias("url_bucket"),
                 )
-                jobs.append(_timed("errors", lambda: self.t_errors.append(errors)))
+                jobs.append(
+                    _timed(
+                        "errors",
+                        lambda: self.t_errors.append(
+                            errors.repartition(F.col("url_bucket")),
+                            partition_by=["url_bucket"],
+                        ),
+                    )
+                )
             if self.decode_images and counts.get(STATUS_OK, 0) > 0 and pbuckets:
                 jobs.append(
                     _timed(

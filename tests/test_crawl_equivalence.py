@@ -139,6 +139,33 @@ def test_scale_paths_invariant(spark, fixture_dir, tmp_path_factory, crawl_pair)
     )
 
 
+def test_seen_bucket_prune_invariant(spark, fixture_dir, tmp_path_factory, crawl_pair):
+    """seen_prune_min_rows=0 forces the bucket-local dedup path every
+    round (production defers it to big seen sets): output must be
+    byte-identical, and the pruned seen read must show static partition
+    pruning on url_bucket — the scan opens only touched buckets."""
+    import contextlib
+    import io
+
+    eng_full, _, _ = crawl_pair
+    work = str(tmp_path_factory.mktemp("crawl_prune"))
+    eng = CrawlEngine(spark, fixture_dir, work, bloom_min_rows=0,
+                      seen_prune_min_rows=0)
+    eng.run()
+    pd.testing.assert_frame_equal(_engine_log(eng_full, spark), _engine_log(eng, spark))
+    assert set(eng.seen_df().toPandas()["canon_url"]) == set(
+        eng_full.seen_df().toPandas()["canon_url"]
+    )
+    # the pruned derivation pushes url_bucket into PartitionFilters
+    pruned = eng.seen_df(buckets={0, 1})
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pruned.explain(True)
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    assert "url_bucket" in plan.split("PartitionFilters", 1)[1][:400]
+
+
 def test_retry_exhaustion_path(spark, tmp_path_factory):
     """max_attempts=1 makes every 503 exhaust immediately, so the
     fetch_errors table and the errors-union-seen derivation are
