@@ -81,6 +81,47 @@ def test_minhash_identical_docs_share_signature(spark):
     assert not (sigs.loc[1] == sigs.loc[4]).all()
 
 
+def test_lsh_materialize_invariant(spark):
+    """Materializing the signature frame (default) must not change the
+    pair set vs the pure three-subtree expression form, and the
+    materialized plan must read the signatures from executor storage
+    (one computation, three InMemoryTableScans) instead of recomputing
+    the explode+md5 subtree three times (VERDICT r02 #3)."""
+    import contextlib
+    import io
+
+    from scraper_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        release_signature_cache,
+    )
+
+    base = "one two three four five six seven eight nine ten " * 3
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": list(range(8)),
+                "text": [base + f" tail{i % 2}" for i in range(4)]
+                + [f"unrelated corpus number {i} with different words {i*7}" for i in range(4)],
+            }
+        )
+    )
+    mat = lsh_candidate_pairs(df)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        mat.explain()
+    assert "InMemoryTableScan" in buf.getvalue()
+    a = mat.toPandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    b = (
+        lsh_candidate_pairs(df, materialize=False)
+        .toPandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0  # the near-dup cluster must actually collide
+    release_signature_cache()
+
+
 def test_simhash_close_for_similar_docs(spark):
     from scraper_spark.operators.dedup import simhash
 
