@@ -37,9 +37,14 @@ with one max_by hash-aggregate; every ``compact_every`` deltas the
 resolved view is rewritten as a single snapshot hive-partitioned by
 host_bucket (Iceberg analog: positional deletes + periodic compaction
 into ``PARTITIONED BY (bucket(host))``). url_seen stays DERIVED from
-the append-only crawl log + errors. The Bloom broadcast is 8 MB at
-this sizing and grows by raising N_SEGMENTS; beyond broadcastable size
-the probe becomes a seg-keyed shuffle join with identical semantics.
+the append-only crawl log + errors, both hive-partitioned by
+url_bucket so the per-round dedup anti-join reads only touched
+buckets. Bloom segments live in a snapshot-committed TableIO table
+(delta appends + OR-merge reads + compaction) with two probe modes: a
+driver-merged ~8 MB broadcast while the filter fits an executor heap,
+and a seg-keyed cogroup join (``bloom_probe_mode="join"``) in which
+the bits never touch the driver — the shape for N_SEGMENTS beyond
+broadcastable, proven output-identical by the equivalence suite.
 """
 
 from __future__ import annotations
@@ -130,6 +135,17 @@ IMAGES_SCHEMA = T.StructType(
 SCHEDULE_SALTS = 32  # phase-1 fan-out of the per-host top-k
 
 
+def _or_merge_segments(pdf: pd.DataFrame) -> pd.DataFrame:
+    """applyInPandas kernel: OR-merge one segment's delta rows."""
+    merged = None
+    for bits in pdf["bits"]:
+        arr = np.asarray(bits, dtype=np.int64)
+        merged = arr if merged is None else (merged | arr)
+    return pd.DataFrame(
+        {"seg": [int(pdf["seg"].iloc[0])], "bits": [merged.tolist()]}
+    )
+
+
 def with_global_seq(
     df: DataFrame,
     bucket_col_name: str,
@@ -173,6 +189,7 @@ class CrawlEngine:
         images_broadcast_max: int = 100_000,
         compact_every: int = 16,
         seen_prune_min_rows: int = 1_000_000,
+        bloom_probe_mode: str = "broadcast",
     ):
         self.spark = spark
         self.fixture_dir = fixture_dir
@@ -208,6 +225,17 @@ class CrawlEngine:
         # instead of O(seen). Tests pass 0 to force the pruned path;
         # correctness is identical (test_seen_bucket_prune_invariant).
         self.seen_prune_min_rows = seen_prune_min_rows
+        # "broadcast": driver OR-merges the segment table and broadcasts
+        # (~8 MB at this sizing — right while the filter fits an
+        # executor heap). "join": Bloom bits NEVER touch the driver —
+        # segment deltas are built and appended distributed, and the
+        # probe is a seg-keyed cogroup (shuffle candidates by segment,
+        # OR-merge + test bits inside the per-segment Arrow group).
+        # Identical semantics (test_bloom_join_probe_same_result); at
+        # 10^10 urls N_SEGMENTS grows past broadcastable and "join" is
+        # the only shape that survives.
+        assert bloom_probe_mode in ("broadcast", "join")
+        self.bloom_probe_mode = bloom_probe_mode
         self.pol = PolitenessConfig.load(os.path.join(fixture_dir, "politeness.json"))
         self.store_path = os.path.join(fixture_dir, "page_store.parquet")
         self.images_path = os.path.join(fixture_dir, "image_captions.parquet")
@@ -221,11 +249,20 @@ class CrawlEngine:
         self.t_log = TableIO(os.path.join(work_dir, "crawl_log"))
         self.t_errors = TableIO(os.path.join(work_dir, "fetch_errors"))
         self.t_images = TableIO(os.path.join(work_dir, "images"))
+        # Bloom segments live in a snapshot-committed table like every
+        # other piece of crawl state (VERDICT r02 #4 — formerly a
+        # driver-held npz sidecar): rounds append O(touched-segment)
+        # delta rows (seg, bits), reads OR-merge, compaction rewrites
+        # one merged snapshot. Being in _tables puts it under the same
+        # state.json commit + rollback as the data tables, so resume
+        # restores the filter to the committed round boundary.
+        self.t_bloom = TableIO(os.path.join(work_dir, "bloom"))
         self._tables = {
             "frontier": self.t_frontier,
             "crawl_log": self.t_log,
             "fetch_errors": self.t_errors,
             "images": self.t_images,
+            "bloom": self.t_bloom,
         }
 
         # politeness + robots dims (tiny → broadcast joins); robots
@@ -252,24 +289,62 @@ class CrawlEngine:
     def _state_path(self) -> str:
         return os.path.join(self.work_dir, "state.json")
 
-    def _bloom_path(self) -> str:
-        return os.path.join(self.work_dir, "bloom.npz")
+    BLOOM_SCHEMA = "seg int, bits array<long>"
 
-    def _save_bloom(self) -> None:
-        """Persist Bloom segments as an npz sidecar (atomic replace) —
-        driver-held state, checkpointed before state.json commits.
-        Uncompressed: zlib over the ~8 MB bitset cost ~0.3 s of flat
-        driver time EVERY round — part of the non-scaling per-round
-        constant the N→4N efficiency pays for — to save a few MB."""
-        tmp = self._bloom_path() + f".tmp-{uuid.uuid4().hex}.npz"
-        np.savez(tmp, **{str(k): v for k, v in self._bloom_segments.items()})
-        os.replace(tmp, self._bloom_path())
+    def _bloom_active(self) -> bool:
+        """Is the Bloom prefilter live? Broadcast mode: driver holds
+        merged segments. Join mode: any committed segment snapshot."""
+        if self.bloom_probe_mode == "broadcast":
+            return bool(self._bloom_segments)
+        return self.t_bloom.current_snapshot_id() is not None
+
+    def _append_bloom_delta(self, delta: dict) -> None:
+        """Append this round's OR-delta segments (broadcast mode; the
+        bits came back on the fused stats collect). O(touched segments)
+        rows; the merged filter is recovered on read by OR-merging
+        snapshots, and compaction keeps snapshot count bounded."""
+        if not delta:
+            return
+        pdf = bloom.segments_to_frame(delta)
+        self.t_bloom.append(
+            self.spark.createDataFrame(pdf, self.BLOOM_SCHEMA)
+        )
+        self._maybe_compact_bloom()
+
+    def _bloom_deltas_since_compact(self) -> int:
+        n = 0
+        for s in reversed(self.t_bloom.snapshots()):
+            if s["op"] == "overwrite":
+                break
+            n += 1
+        return n
+
+    def _maybe_compact_bloom(self) -> None:
+        if self._bloom_deltas_since_compact() < self.compact_every:
+            return
+        if self.bloom_probe_mode == "broadcast":
+            # the driver already holds the merged state — free rewrite
+            pdf = bloom.segments_to_frame(self._bloom_segments)
+            self.t_bloom.overwrite(
+                self.spark.createDataFrame(pdf, self.BLOOM_SCHEMA)
+            )
+        else:
+            # distributed OR-merge: one groupBy(seg) Arrow stage
+            merged = (
+                self.t_bloom.read(self.spark)
+                .groupBy("seg")
+                .applyInPandas(_or_merge_segments, self.BLOOM_SCHEMA)
+            )
+            self.t_bloom.overwrite(merged)
 
     def _load_bloom(self) -> None:
+        """Rebuild the driver-held merged segments from the table
+        (broadcast mode resume). Join mode never holds bits on the
+        driver — the table IS the state."""
         self._bloom_segments = {}
-        if os.path.exists(self._bloom_path()):
-            with np.load(self._bloom_path()) as z:
-                self._bloom_segments = {int(k): z[k].copy() for k in z.files}
+        if self.t_bloom.current_snapshot_id() is not None:
+            pdf = self.t_bloom.read(self.spark).toPandas()
+            self._bloom_segments = bloom.merge_segment_frames([pdf])
 
     def _commit_state(self, next_round: int, seq: int) -> None:
         state = {
@@ -386,7 +461,7 @@ class CrawlEngine:
                     t.rollback(0)
             elif cur is not None and cur > sid:
                 t.rollback(sid)
-        if self.use_bloom:
+        if self.use_bloom and self.bloom_probe_mode == "broadcast":
             self._load_bloom()
         self._refresh_bloom_bc()
         return state["round"], state["seq"]
@@ -572,23 +647,37 @@ class CrawlEngine:
         in its own bucket. Pruning rides the Bloom path — at the seen
         sizes where it matters the Bloom prefilter is always active."""
         fresh = links.join(known.select("canon_url"), "canon_url", "left_anti")
-        if not (self.use_bloom and self._bloom_segments):
+        if not (self.use_bloom and self._bloom_active()):
             return fresh.join(
                 seen_base.unionByName(terminal), "canon_url", "left_anti"
             )
-        bc = self._bloom_bc
-
-        def mark(batches):
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                maybe = bloom.probe(pdf["canon_url"], bc.value)
-                yield pdf.assign(_maybe=maybe)
-
         schema = ", ".join(
             f"{f.name} {f.dataType.simpleString()}" for f in fresh.schema.fields
         )
-        marked = fresh.mapInPandas(mark, schema + ", _maybe boolean").persist()
+        if self.bloom_probe_mode == "join":
+            # the committed segment table can't contain THIS round's
+            # terminal fetches (their delta append commits concurrently,
+            # after this plan is built), so links back to them would be
+            # "definitely unseen" and skip the exact join. Remove them
+            # up front — terminal is O(round), a cheap small-side
+            # anti-join — so the Bloom no-false-negative guarantee holds
+            # for everything the filter has actually been fed.
+            fresh = fresh.join(
+                terminal.select("canon_url"), "canon_url", "left_anti"
+            )
+            marked = self._probe_join_mark(fresh, schema + ", _maybe boolean")
+        else:
+            bc = self._bloom_bc
+
+            def mark(batches):
+                for pdf in batches:
+                    if len(pdf) == 0:
+                        continue
+                    maybe = bloom.probe(pdf["canon_url"], bc.value)
+                    yield pdf.assign(_maybe=maybe)
+
+            marked = fresh.mapInPandas(mark, schema + ", _maybe boolean")
+        marked = marked.persist()
         self._round_persists.append(marked)
         definite = marked.where(~F.col("_maybe")).drop("_maybe")
         maybe = marked.where(F.col("_maybe")).drop("_maybe")
@@ -610,6 +699,35 @@ class CrawlEngine:
             seen_join = seen_base.unionByName(terminal)
         return definite.unionByName(
             maybe.join(seen_join, "canon_url", "left_anti")
+        )
+
+    def _probe_join_mark(self, fresh: DataFrame, out_schema: str) -> DataFrame:
+        """Seg-keyed Bloom probe with NO driver/broadcast state: shuffle
+        candidates by their md5 segment, cogroup with the raw segment
+        delta rows, OR-merge + test bits inside the per-segment Arrow
+        group. One O(candidates) shuffle on a uniformly-hashed 1-int
+        key; the bits side ships each segment's rows exactly once per
+        probe — the shape that survives when N_SEGMENTS × 128 KB
+        outgrows any broadcast. Table dirs resolve NOW, before the
+        round's concurrent bloom append commits."""
+        seg_df = self.t_bloom.read(self.spark)
+
+        def probe_grp(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+            if len(lpdf) == 0:
+                return lpdf.drop(columns=["seg"]).assign(
+                    _maybe=pd.Series([], dtype=bool)
+                )
+            segs = bloom.merge_segment_frames([rpdf]) if len(rpdf) else {}
+            maybe = bloom.probe(lpdf["canon_url"], segs)
+            return lpdf.drop(columns=["seg"]).assign(_maybe=maybe)
+
+        cand = fresh.withColumn(
+            "seg", bucket_col(F.col("canon_url"), bloom.N_SEGMENTS).cast("int")
+        )
+        return (
+            cand.groupBy("seg")
+            .cogroup(seg_df.groupBy("seg"))
+            .applyInPandas(probe_grp, out_schema)
         )
 
     # ------------------------------------------------------------- round
@@ -682,7 +800,11 @@ class CrawlEngine:
                     F.lit(None).cast("array<long>").alias("bits"),
                 )
             )
-            fuse_bloom_delta = self.use_bloom and bool(self._bloom_segments)
+            fuse_bloom_delta = (
+                self.use_bloom
+                and self.bloom_probe_mode == "broadcast"
+                and bool(self._bloom_segments)
+            )
             if fuse_bloom_delta:
                 bloom_agg = bloom.build_segments(terminal).select(
                     F.lit("bloom").alias("kind"),
@@ -720,9 +842,14 @@ class CrawlEngine:
                 break
             seq_new = seq + n_sched
 
-            # ---- Bloom update (driver-side numpy merge; the segment
-            # build already rode the fused job in steady state) ----------
-            if self.use_bloom:
+            # ---- Bloom update. Broadcast mode: driver-side numpy merge
+            # (the segment build already rode the fused job in steady
+            # state); the table append rides the concurrent write pool.
+            # Join mode: the bits NEVER touch the driver — the delta
+            # build is a lazy DataFrame appended by the write pool, and
+            # the probe cogroups against the table.
+            bloom_delta_job = None
+            if self.use_bloom and self.bloom_probe_mode == "broadcast":
                 delta: dict[int, np.ndarray] = {}
                 if fuse_bloom_delta:
                     delta = bloom.merge_segment_frames(
@@ -731,7 +858,7 @@ class CrawlEngine:
                 elif seq_new >= self.bloom_min_rows:
                     # activation: one full build over the whole seen set
                     # (amortized — once when crossing the threshold, or
-                    # on resume from an empty sidecar)
+                    # on resume from an empty table)
                     delta = bloom.merge_segment_frames(
                         [
                             bloom.build_segments(
@@ -747,8 +874,25 @@ class CrawlEngine:
                             )
                         else:
                             self._bloom_segments[seg] = bits
-                    self._save_bloom()
                     self._refresh_bloom_bc()
+
+                    def bloom_delta_job(d=delta):
+                        self._append_bloom_delta(d)
+
+            elif self.use_bloom:
+                delta_df = None
+                if self._bloom_active():
+                    delta_df = bloom.build_segments(terminal)
+                elif seq_new >= self.bloom_min_rows:
+                    delta_df = bloom.build_segments(
+                        seen_base.unionByName(terminal)
+                    )
+                if delta_df is not None:
+
+                    def bloom_delta_job(df=delta_df):
+                        self.t_bloom.append(df)
+                        self._maybe_compact_bloom()
+
             _mark("bloom")
 
             # ---- build the four independent table writes ---------------
@@ -900,6 +1044,8 @@ class CrawlEngine:
             # them would write tasks×64 tiny files per round. Only the
             # compacted base carries the host_bucket layout.
             jobs.append(_timed("frontier", lambda: self.t_frontier.append(deltas)))
+            if bloom_delta_job is not None:
+                jobs.append(_timed("bloom", bloom_delta_job))
             with ThreadPoolExecutor(max_workers=len(jobs)) as ex:
                 for fut in [ex.submit(j) for j in jobs]:
                     fut.result()

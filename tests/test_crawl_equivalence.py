@@ -166,6 +166,30 @@ def test_seen_bucket_prune_invariant(spark, fixture_dir, tmp_path_factory, crawl
     assert "url_bucket" in plan.split("PartitionFilters", 1)[1][:400]
 
 
+def test_bloom_join_probe_same_result(spark, fixture_dir, tmp_path_factory, crawl_pair):
+    """bloom_probe_mode='join' (seg-keyed cogroup probe, Bloom bits
+    never on the driver — the beyond-broadcast shape) must be
+    output-identical to the default broadcast probe, and its state must
+    live in the bloom table, not in driver memory."""
+    eng_full, _, _ = crawl_pair
+    work = str(tmp_path_factory.mktemp("crawl_bloomjoin"))
+    eng = CrawlEngine(spark, fixture_dir, work, bloom_min_rows=0,
+                      bloom_probe_mode="join")
+    eng.run()
+    pd.testing.assert_frame_equal(_engine_log(eng_full, spark), _engine_log(eng, spark))
+    assert eng._bloom_segments == {}  # bits never held on the driver
+    assert eng.t_bloom.current_snapshot_id() is not None
+    # the table state round-trips: distributed rows OR-merge to the
+    # same filter the broadcast engine accumulated
+    from scraper_spark.plans import seen as bloom
+
+    tbl = bloom.merge_segment_frames([eng.t_bloom.read(spark).toPandas()])
+    ref = eng_full._bloom_segments
+    assert set(tbl) == set(ref)
+    for seg in ref:
+        assert (tbl[seg] == ref[seg]).all()
+
+
 def test_retry_exhaustion_path(spark, tmp_path_factory):
     """max_attempts=1 makes every 503 exhaust immediately, so the
     fetch_errors table and the errors-union-seen derivation are
