@@ -998,14 +998,23 @@ class CrawlEngine:
                 return run
 
             # log + errors are hive-partitioned by url_bucket (they are
-            # what the seen set derives from); the pre-write repartition
-            # confines each bucket to one task so a round adds at most
-            # N_URL_BUCKETS files, not tasks × buckets
+            # what the seen set derives from). On bulk rounds a
+            # pre-write repartition confines each bucket to one task so
+            # a round adds at most N_URL_BUCKETS files, not tasks ×
+            # buckets; on tiny (startup/drain) rounds a narrow
+            # coalesce(1) bounds files the same way WITHOUT the extra
+            # shuffle stage — part of the fixed per-round latency the
+            # N→4N e2e efficiency pays for (VERDICT r02 #5)
+            def _bucket_layout(df, n_rows):
+                if n_rows <= 5000:
+                    return df.coalesce(1)
+                return df.repartition(F.col("url_bucket"))
+
             jobs = [
                 _timed(
                     "log",
                     lambda: self.t_log.append(
-                        log.repartition(F.col("url_bucket")),
+                        _bucket_layout(log, n_sched),
                         partition_by=["url_bucket"],
                     ),
                 )
@@ -1022,7 +1031,7 @@ class CrawlEngine:
                     _timed(
                         "errors",
                         lambda: self.t_errors.append(
-                            errors.repartition(F.col("url_bucket")),
+                            _bucket_layout(errors, n_exhausted),
                             partition_by=["url_bucket"],
                         ),
                     )
@@ -1043,7 +1052,15 @@ class CrawlEngine:
             # and live at most compact_every rounds — hive-bucketing
             # them would write tasks×64 tiny files per round. Only the
             # compacted base carries the host_bucket layout.
-            jobs.append(_timed("frontier", lambda: self.t_frontier.append(deltas)))
+            # frontier compaction depends only on the delta append —
+            # chain it inside that job so it overlaps the log/images
+            # writes instead of adding a serial post-writes wave
+            # (VERDICT r02 #5)
+            def frontier_job():
+                self.t_frontier.append(deltas)
+                self._maybe_compact()
+
+            jobs.append(_timed("frontier", frontier_job))
             if bloom_delta_job is not None:
                 jobs.append(_timed("bloom", bloom_delta_job))
             with ThreadPoolExecutor(max_workers=len(jobs)) as ex:
@@ -1052,8 +1069,6 @@ class CrawlEngine:
             phases["write_jobs"] = write_times
             seq = seq_new
             _mark("writes")
-            self._maybe_compact()
-            _mark("compact")
 
             # ---- metrics (driver-side lineage JSONL; timings are not
             # order-observable, so the determinism ban doesn't apply) ----
