@@ -37,7 +37,12 @@ def tail_crawl_log(spark: SparkSession, work_dir: str) -> DataFrame:
 
     New snapshot dirs appear atomically (TableIO manifest commit), so a
     file-based stream sees only whole rounds. maxFilesPerTrigger keeps
-    micro-batches bounded when catching up."""
+    micro-batches bounded when catching up. recursiveFileLookup
+    descends the hive ``url_bucket=N`` layout but deliberately skips
+    partition inference, so the tailed ``url_bucket`` column is null —
+    the monitoring consumers here key on round/status/seq only; a
+    consumer needing the bucket recomputes it from canon_url
+    (one md5, the same expression the writer used)."""
     path = os.path.join(work_dir, "crawl_log", "data")
     return (
         spark.readStream.schema(LOG_SCHEMA)

@@ -1,6 +1,5 @@
 """Structured Streaming smoke tests (memory sink, processAllAvailable)."""
 
-import glob
 import os
 
 import pytest
@@ -28,6 +27,8 @@ def crawl_work(spark, fixture_dir, tmp_path_factory):
 def test_tail_crawl_log_sees_all_rounds(spark, crawl_work):
     from scraper_spark.plans.frontier import CrawlEngine
 
+    from scraper_spark.sources.tableio import TableIO
+
     q = ST.run_to_memory(
         ST.round_metrics_stream(spark, crawl_work), "round_metrics"
     )
@@ -35,9 +36,10 @@ def test_tail_crawl_log_sees_all_rounds(spark, crawl_work):
         got = spark.sql(
             "SELECT sum(n) AS total FROM round_metrics"
         ).collect()[0]["total"]
-        batch = spark.read.parquet(
-            *glob.glob(os.path.join(crawl_work, "crawl_log", "data", "*"))
-        ).count()
+        # TableIO.read handles the hive-partitioned (url_bucket=N)
+        # snapshot roots; a raw multi-root spark.read.parquet would
+        # refuse with CONFLICTING_DIRECTORY_STRUCTURES
+        batch = TableIO(os.path.join(crawl_work, "crawl_log")).read(spark).count()
         assert got == batch
     finally:
         q.stop()
@@ -75,11 +77,12 @@ def test_stateful_host_counters(spark, crawl_work):
                    FROM host_counters GROUP BY host"""
             ).collect()
         }
+        from scraper_spark.sources.tableio import TableIO
+
         batch = {
             r["host"]: r["n"]
-            for r in spark.read.parquet(
-                *glob.glob(os.path.join(crawl_work, "crawl_log", "data", "*"))
-            )
+            for r in TableIO(os.path.join(crawl_work, "crawl_log"))
+            .read(spark)
             .groupBy("host")
             .agg(F.count("*").alias("n"))
             .collect()
