@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from scraper_spark.functions.hashes import bucket_col, bucket_sql
 from scraper_spark.operators import dedup as D, similarity as S, text as X
+from scraper_spark.sources.named_queries import expand as nq_expand
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -819,6 +820,23 @@ def q_f_compound_gates(spark, sf):
     return dropna.unionByName(confidence).unionByName(skip_header)
 
 
+def q_s7_named_query(spark, sf):
+    # S7 (stored-proc source — reference EXEC call sites, SURVEY §2.1):
+    # the named-query registry (sources/named_queries.py) executes a
+    # versioned parameterized SQL template against a bound view; the
+    # oracle runs the SAME expanded template text on DuckDB
+    from scraper_spark.sources.named_queries import run_named
+
+    _t(spark, sf, "customer").createOrReplaceTempView("s7_customer")
+    return run_named(
+        spark,
+        "top_customers_by_balance",
+        {"customer": "s7_customer"},
+        segment="BUILDING",
+        k=25,
+    )
+
+
 def q_u_set_ops(spark, sf):
     # U2 except + U3 intersect (db.py:200, 40,330-331) merged into one
     # tagged driver row (50-row gate cap, VERDICT r02 #1)
@@ -859,6 +877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j6_broadcast_lookup": q_j6_broadcast_lookup,
         "u1_union": q_u1_union,
         "u_set_ops": q_u_set_ops,
+        "s7_named_query": q_s7_named_query,
         "p5_regex_extract": q_p5_regex_extract,
         "p6_conditional_scaling": q_p6_conditional_scaling,
         "p7_split": q_p7_split,
@@ -1122,6 +1141,12 @@ def oracle_sql() -> dict[str, str]:
               FROM orders
             ) WHERE rnk <= 2
         """,
+        # the oracle is the SAME expanded template the Spark side runs
+        "s7_named_query": nq_expand(
+            "top_customers_by_balance",
+            {"customer": "customer"},
+            {"segment": "BUILDING", "k": 25},
+        ),
         "f_compound_gates": """
             SELECT 'dropna' AS gate, CAST(doc_id AS BIGINT) AS rec_id,
                    lang AS attr, CAST(NULL AS DOUBLE) AS metric

@@ -92,3 +92,73 @@ def test_store_bucket_count_meta_inference(tmp_path):
     for i in (0, 3, 9):
         _os.makedirs(d3 / f"pbucket={i}")
     assert store_bucket_count(str(d3)) == 64
+
+
+def test_named_query_registry(spark):
+    """S7 stored-proc analog: named parameterized SQL templates bound
+    to views at call time; parameter values are whitelist-validated."""
+    import pytest
+
+    from scraper_spark.sources.named_queries import expand, run_named
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "c_custkey": [1, 2, 3, 4],
+                "c_name": ["a", "b", "c", "d"],
+                "c_acctbal": [10.0, 40.0, 30.0, 20.0],
+                "c_mktsegment": ["X", "X", "X", "Y"],
+            }
+        )
+    )
+    df.createOrReplaceTempView("nq_customer")
+    out = run_named(
+        spark,
+        "top_customers_by_balance",
+        {"customer": "nq_customer"},
+        segment="X",
+        k=2,
+    ).toPandas()
+    assert list(out.c_custkey) == [2, 3]  # top-2 by balance, ordered
+    assert list(out.columns) == ["c_custkey", "c_name", "bal"]
+    # injection-shaped parameter values are rejected before expansion
+    with pytest.raises(ValueError):
+        expand(
+            "top_customers_by_balance",
+            {"customer": "nq_customer"},
+            {"segment": "X' OR '1'='1", "k": 2},
+        )
+    with pytest.raises(ValueError):
+        expand(
+            "top_customers_by_balance",
+            {"customer": "nq_customer; DROP"},
+            {"segment": "X", "k": 2},
+        )
+
+
+def test_notify_sink_gates_and_audits(spark, tmp_path):
+    """K8 conditional notify: fires only when the gate trips; each
+    firing appends one auditable row to the notifications table."""
+    from scraper_spark.sources.notify import (
+        notify_if,
+        notify_on_threshold,
+        table_transport,
+    )
+
+    t = TableIO(str(tmp_path / "notifications"))
+    send = table_transport(t)
+    df = spark.createDataFrame(
+        pd.DataFrame({"url": ["a", "b", "c"], "errors": [0.0, 5.0, 12.0]})
+    )
+    # below min_rows → no fire, no table
+    assert not notify_if(df.where("errors > 100"), "err_gate", "r1", send)
+    assert not t.exists()
+    # threshold gate fires with the filtered sample
+    assert notify_on_threshold(df, "err_gate", "r2", send, "errors", 10.0)
+    rows = t.read(spark).toPandas()
+    assert len(rows) == 1
+    assert rows.iloc[0]["n_rows"] == 1 and rows.iloc[0]["gate"] == "err_gate"
+    assert "url=c" in rows.iloc[0]["sample"]
+    # plain row-count gate
+    assert notify_if(df, "any_rows", "r3", send)
+    assert len(t.read(spark).toPandas()) == 2
