@@ -189,7 +189,7 @@ class CrawlEngine:
         images_broadcast_max: int = 100_000,
         compact_every: int = 16,
         seen_prune_min_rows: int = 1_000_000,
-        bloom_probe_mode: str = "broadcast",
+        bloom_probe_mode: str = "auto",
     ):
         self.spark = spark
         self.fixture_dir = fixture_dir
@@ -231,10 +231,21 @@ class CrawlEngine:
         # segment deltas are built and appended distributed, and the
         # probe is a seg-keyed cogroup (shuffle candidates by segment,
         # OR-merge + test bits inside the per-segment Arrow group).
-        # Identical semantics (test_bloom_join_probe_same_result); at
-        # 10^10 urls N_SEGMENTS grows past broadcastable and "join" is
-        # the only shape that survives.
-        assert bloom_probe_mode in ("broadcast", "join")
+        # "auto" sizes the gate like the images-stage broadcast gate:
+        # the filter's byte size is static (N_SEGMENTS × segment bits),
+        # so the mode resolves at construction — broadcast below
+        # BLOOM_BROADCAST_MAX_BYTES, join above. Identical semantics
+        # either way (test_bloom_join_probe_same_result); at 10^10 urls
+        # N_SEGMENTS grows past broadcastable and "join" is the only
+        # shape that survives.
+        assert bloom_probe_mode in ("auto", "broadcast", "join")
+        if bloom_probe_mode == "auto":
+            filter_bytes = bloom.N_SEGMENTS * bloom.BITS_PER_SEGMENT // 8
+            bloom_probe_mode = (
+                "broadcast"
+                if filter_bytes <= self.BLOOM_BROADCAST_MAX_BYTES
+                else "join"
+            )
         self.bloom_probe_mode = bloom_probe_mode
         self.pol = PolitenessConfig.load(os.path.join(fixture_dir, "politeness.json"))
         self.store_path = os.path.join(fixture_dir, "page_store.parquet")
@@ -290,6 +301,9 @@ class CrawlEngine:
         return os.path.join(self.work_dir, "state.json")
 
     BLOOM_SCHEMA = "seg int, bits array<long>"
+    # auto-mode ceiling for holding + broadcasting the merged filter
+    # (comfortably under a 4-8 GB executor heap's broadcast budget)
+    BLOOM_BROADCAST_MAX_BYTES = 256 << 20
 
     def _bloom_active(self) -> bool:
         """Is the Bloom prefilter live? Broadcast mode: driver holds
