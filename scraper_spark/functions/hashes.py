@@ -54,5 +54,25 @@ def md5_long_sql(expr: str) -> str:
     return f"CAST(('0x' || substr(md5({expr}), 1, {HEX_DIGITS})) AS BIGINT)"
 
 
+# -- digest-slice helpers -------------------------------------------------
+# An md5 digest carries 128 bits; consumers needing TWO independent
+# hash values per input (minhash's affine double-hash family) slice
+# disjoint hex ranges of ONE digest instead of paying a second md5 —
+# the digest is the dominant cost at 10^9 shingles.
+def hex_long(hex_digest: str, start: int, n: int) -> int:
+    """Python: hex digits [start, start+n) (1-based) as int."""
+    return int(hex_digest[start - 1 : start - 1 + n], 16)
+
+
+def hex_long_col(dg: Column, start: int, n: int) -> Column:
+    """Spark: same slice of a hex-digest column as bigint (n ≤ 15)."""
+    return F.conv(F.substring(dg, start, n), 16, 10).cast("long")
+
+
+def hex_long_sql(expr: str, start: int, n: int) -> str:
+    """DuckDB fragment mirroring ``hex_long_col``."""
+    return f"CAST(('0x' || substr({expr}, {start}, {n})) AS BIGINT)"
+
+
 def bucket_sql(expr: str, n: int) -> str:
     return f"({md5_long_sql(expr)} % {n})"

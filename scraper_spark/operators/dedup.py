@@ -8,9 +8,9 @@ detection too; these operators implement the standard family over the
 
 - exact: hash-groupBy (one shuffle, map-side partial agg),
 - MinHash: 64-component per-doc signatures over the 3-word-shingle set
-  from an affine double-hash family (two md5s per shingle —
-  functions/hashes.py parity) so the DuckDB oracle reproduces them
-  bit-for-bit,
+  from an affine double-hash family (ONE md5 per shingle, h1/h2 from
+  disjoint digest slices — functions/hashes.py parity) so the DuckDB
+  oracle reproduces them bit-for-bit,
 - LSH: band the signatures (8 bands × 8 rows → collision threshold
   ≈ 0.77), equi-join on band key, then VERIFY survivors against the
   full signature and drop sub-threshold pairs — candidates without the
@@ -30,7 +30,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window as W, functions as F
 
-from scraper_spark.functions.hashes import md5_long_col, md5_long_sql
+from scraper_spark.functions.hashes import (
+    hex_long_col,
+    hex_long_sql,
+    md5_long_sql,
+)
 from scraper_spark.operators.text import TOKEN_SPLIT, WS_CLASS, tokens_col, tokens_sql
 
 # 64 permutations in bands of 8 → LSH threshold (1/b)^(1/r) =
@@ -107,22 +111,27 @@ _SHINGLES_SQL = f"""
 
 def minhash_signatures(docs: DataFrame) -> DataFrame:
     """64 minhashes per doc from an affine double-hash family:
-    mh_i = min over words of (h1 + i·h2), h1 = md5_long(word),
-    h2 = (md5_long('β|'+word) & 2^50-1) | 1.
+    mh_i = min over shingles of (h1 + i·h2), with h1 = md5 hex digits
+    1-15 (60 bits) and h2 = (hex digits 16-28 & 2^50-1) | 1 — disjoint
+    slices of ONE digest per shingle (was two md5s; the digest is the
+    dominant cost of this operator, so halving it halves the hot path
+    at 10^9 shingles).
 
-    Two md5s per shingle instead of 64 — the remaining 64 components
-    are JVM integer arithmetic inside one hash-aggregate (map-side
-    partial min), so widening the family costs ~nothing at 10^9 docs.
-    All arithmetic is exact int64 (h1 + 63·h2 < 2^61), hence
-    bit-identical in Python/Spark/DuckDB. The set being hashed is the
+    The remaining 64 components are JVM integer arithmetic inside one
+    hash-aggregate (map-side partial min), so widening the family
+    costs ~nothing. All arithmetic is exact int64 (h1 + 63·h2 < 2^61),
+    hence bit-identical in Spark/DuckDB. The set being hashed is the
     doc's 3-word shingle set (_shingle_rows).
     """
     words = _shingle_rows(docs)
-    h = words.select(
+    # two-step select pins ONE md5 evaluation per shingle regardless of
+    # codegen subexpression elimination
+    dg = words.select("doc_id", F.md5(F.col("word")).alias("dg"))
+    h = dg.select(
         "doc_id",
-        md5_long_col(F.col("word")).alias("h1"),
+        hex_long_col(F.col("dg"), 1, 15).alias("h1"),
         (
-            md5_long_col(F.concat(F.lit("β|"), F.col("word")))
+            hex_long_col(F.col("dg"), 16, 13)
             .bitwiseAND(F.lit(_H2_MASK))
             .bitwiseOR(F.lit(1))
         ).alias("h2"),
@@ -135,9 +144,9 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
 
 
 _HASH_PAIR_SQL = f"""
-    SELECT doc_id, {md5_long_sql('word')} AS h1,
-           (({md5_long_sql("'β|' || word")} & {_H2_MASK}) | 1) AS h2
-    FROM w
+    SELECT doc_id, {hex_long_sql('dg', 1, 15)} AS h1,
+           (({hex_long_sql('dg', 16, 13)} & {_H2_MASK}) | 1) AS h2
+    FROM (SELECT doc_id, md5(word) AS dg FROM w)
 """
 
 

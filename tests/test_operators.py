@@ -359,3 +359,49 @@ def test_fetch_carries_attrs_kv_bag(spark, fixture_dir):
         got = out.loc[row.canon_url]
         assert got.floor == want["floor"] and got.area == want["area"]
         assert got.n_keys == len(want)
+
+
+def test_ws_class_parity_spark_vs_duckdb(spark):
+    """The explicit whitespace class must tokenize/normalize/hash
+    identically on Spark (Java regex) and DuckDB (RE2) — including
+    \\x0B (vertical tab), the exact character on which Java's \\s and
+    RE2's \\s disagree (ADVICE r02)."""
+    import duckdb
+
+    from scraper_spark.operators import text as X
+
+    vals = [
+        "plain words here",
+        "vertical\x0btab inside",
+        "mixed \t\n\r\f\x0b all classes",
+        "\x0b leading and trailing \x0b",
+        "no_whitespace_at_all",
+        "",
+    ]
+    pdf = pd.DataFrame({"doc_id": range(len(vals)), "text": vals})
+    sdf = spark.createDataFrame(pdf)
+    got_spark = (
+        sdf.select(
+            "doc_id",
+            F.size(X.tokens_col(F.col("text"))).alias("n_tokens"),
+            F.md5(
+                F.trim(F.regexp_replace(F.lower(F.col("text")), X.TOKEN_SPLIT, " "))
+            ).alias("fp"),
+        )
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    got_duck = (
+        con.sql(
+            f"""SELECT doc_id, len({X.tokens_sql('text')}) AS n_tokens,
+                       md5({X.NORM_SQL}) AS fp
+                FROM documents ORDER BY doc_id"""
+        )
+        .df()
+        .reset_index(drop=True)
+    )
+    assert list(got_spark.n_tokens) == list(got_duck.n_tokens)
+    assert list(got_spark.fp) == list(got_duck.fp)
