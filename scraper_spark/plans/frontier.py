@@ -428,27 +428,42 @@ class CrawlEngine:
         return n
 
     def frontier_view(self) -> DataFrame:
+        """Resolve the merge-on-read delta log to the pending frontier.
+
+        Resolution rule — FIRST-ADD-WINS after the last delete: per
+        url, take the newest 'del' round (a retry 'add' shares its
+        del's round and survives it), then among surviving 'add's keep
+        the EARLIEST (min delta_round; within a round the retry add —
+        attempt > 0 — outranks a fresh link re-add). This makes
+        re-discovery of an already-pending url a NO-OP by construction:
+        a later link 'add' loses to the original record, so first
+        discovery wins (spec.py) without any engine-side subtraction —
+        which is what lets the round loop skip the two O(frontier)
+        passes (remaining + known anti-joins) older revisions spent
+        purely on keeping duplicate adds out of the table. Duplicate
+        adds cost O(links) delta rows that vanish at resolution.
+
+        One exchange on canon_url serves both window passes (the
+        last-del max and the winner row_number share partitioning)."""
         raw = self.t_frontier.read(self.spark, schema=FRONTIER_DELTA_SCHEMA)
         if self._deltas_since_compact() == 0:
             # freshly initialized/compacted: stored rows ARE the
             # resolved state — skip the resolution shuffle entirely
             return raw.select([f.name for f in FRONTIER_SCHEMA.fields])
-        # newest record per url wins; an 'add' outranks a 'del' within
-        # the same round (scheduled transient re-enqueued by retry).
-        # max_by hash-aggregates with map-side partial merge — cheaper
-        # than a sort-based window over the same key.
-        rank = F.struct(
-            F.col("delta_round"),
-            F.when(F.col("op") == "add", 1).otherwise(0).alias("opr"),
+        w = W.partitionBy("canon_url")
+        last_del = F.max(
+            F.when(F.col("op") == "del", F.col("delta_round"))
+        ).over(w)
+        alive = raw.withColumn("_ldr", F.coalesce(last_del, F.lit(-2))).where(
+            (F.col("op") == "add") & (F.col("delta_round") >= F.col("_ldr"))
         )
-        payload = F.struct(
-            *[F.col(f.name) for f in FRONTIER_SCHEMA.fields], F.col("op")
+        wr = W.partitionBy("canon_url").orderBy(
+            F.col("delta_round").asc(), F.col("attempt").desc()
         )
         return (
-            raw.groupBy("canon_url")
-            .agg(F.max_by(payload, rank).alias("r"))
-            .where(F.col("r.op") == "add")
-            .select(*[F.col(f"r.{f.name}").alias(f.name) for f in FRONTIER_SCHEMA.fields])
+            alive.withColumn("_rn", F.row_number().over(wr))
+            .where(F.col("_rn") == 1)
+            .select([f.name for f in FRONTIER_SCHEMA.fields])
         )
 
     def _maybe_compact(self) -> None:
@@ -638,18 +653,22 @@ class CrawlEngine:
     def _dedup_links(
         self,
         links: DataFrame,
-        known: DataFrame,
         seen_base: DataFrame,
         terminal: DataFrame,
         prune: bool = False,
     ) -> DataFrame:
-        """links − known-frontier − seen (Bloom prefilter on the big
-        anti-join; exactness always from the left_anti). The caller
-        passes the seen pieces explicitly — ``seen_base`` is the
-        pre-round seen set (dirs resolved before any concurrent append
-        commits) and ``terminal`` this round's terminal fetches, which
-        lets the frontier delta write run concurrently with the log
-        append instead of reading the just-committed log snapshot.
+        """links − seen (Bloom prefilter on the big anti-join;
+        exactness always from the left_anti). Links to urls already
+        PENDING in the frontier pass through deliberately: frontier
+        resolution is first-add-wins (frontier_view), so a duplicate
+        add is a no-op — subtracting them here cost two O(frontier)
+        passes per round (the old remaining/known anti-joins) to save
+        O(links) delta rows. The caller passes the seen pieces
+        explicitly — ``seen_base`` is the pre-round seen set (dirs
+        resolved before any concurrent append commits) and ``terminal``
+        this round's terminal fetches, which lets the frontier delta
+        write run concurrently with the log append instead of reading
+        the just-committed log snapshot.
 
         ``prune=True`` (gated on seen size by the caller) makes the
         exact join BUCKET-LOCAL: collect the ≤N_URL_BUCKETS distinct
@@ -660,7 +679,7 @@ class CrawlEngine:
         determines url_bucket, so a probe row can only match seen rows
         in its own bucket. Pruning rides the Bloom path — at the seen
         sizes where it matters the Bloom prefilter is always active."""
-        fresh = links.join(known.select("canon_url"), "canon_url", "left_anti")
+        fresh = links
         if not (self.use_bloom and self._bloom_active()):
             return fresh.join(
                 seen_base.unionByName(terminal), "canon_url", "left_anti"
@@ -942,12 +961,10 @@ class CrawlEngine:
                     (F.col("attempt") + 1).cast("int").alias("attempt"),
                 )
             )
-            remaining = frontier.join(
-                fetched.select("canon_url"), "canon_url", "left_anti"
-            )
-            known = remaining.select("canon_url").unionByName(
-                retry.select("canon_url")
-            )
+            # NOTE: no remaining/known subtraction — links to urls
+            # already pending in the frontier become duplicate 'add'
+            # deltas that first-add-wins resolution discards
+            # (frontier_view). Two O(frontier) passes per round gone.
             links = fetched.where(
                 (F.col("status") == STATUS_OK) & F.col("links").isNotNull()
             ).select("depth", F.explode("links").alias("link"))
@@ -966,7 +983,6 @@ class CrawlEngine:
             )
             fresh = self._dedup_links(
                 links,
-                known,
                 seen_base,
                 terminal,
                 # seq counts exactly the logged urls — a free, exact

@@ -215,6 +215,71 @@ def test_retry_exhaustion_path(spark, tmp_path_factory):
     )
 
 
+def test_frontier_resolution_first_add_wins(spark, fixture_dir, tmp_path_factory):
+    """Unit-pin the merge-on-read resolution rule that lets the round
+    loop skip the remaining/known anti-joins: per url, newest 'del'
+    round wins, then the EARLIEST surviving 'add' (retry outranks a
+    same-round fresh re-add) — so re-discovering a pending url is a
+    no-op and first discovery keeps its (depth, discovery_time)."""
+    import pandas as pd
+
+    from scraper_spark.plans.frontier import FRONTIER_DELTA_SCHEMA
+
+    eng = CrawlEngine(
+        spark, fixture_dir, str(tmp_path_factory.mktemp("resolve_work"))
+    )
+
+    def rec(url, depth, disc, attempt, op, rnd):
+        return (url, "h", 0, depth, disc, attempt, op, rnd)
+
+    rows = [
+        # u1: base add + later fresh re-add → base record wins
+        rec("u1", 1, 0, 0, "add", -1),
+        rec("u1", 5, 4, 0, "add", 3),
+        # u2: add then del → gone
+        rec("u2", 1, 1, 0, "add", 1),
+        rec("u2", 1, 1, 0, "del", 4),
+        # u3: del + same-round retry add → retry survives
+        rec("u3", 1, 1, 0, "add", 1),
+        rec("u3", 1, 1, 0, "del", 4),
+        rec("u3", 1, 1, 1, "add", 4),
+        # u4: retry at r4, fresh re-add at r6 → retry record wins
+        rec("u4", 1, 1, 0, "add", 1),
+        rec("u4", 1, 1, 0, "del", 4),
+        rec("u4", 1, 1, 1, "add", 4),
+        rec("u4", 7, 7, 0, "add", 6),
+        # u5: plain pending url
+        rec("u5", 2, 2, 0, "add", 2),
+        # u6: retry and fresh re-add in the SAME round → retry
+        # (attempt desc tie-break)
+        rec("u6", 1, 1, 0, "add", 0),
+        rec("u6", 1, 1, 0, "del", 2),
+        rec("u6", 1, 1, 1, "add", 2),
+        rec("u6", 3, 3, 0, "add", 2),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            rows,
+            columns=[f.name for f in FRONTIER_DELTA_SCHEMA.fields],
+        ),
+        FRONTIER_DELTA_SCHEMA,
+    )
+    eng.t_frontier.overwrite(df.limit(1))  # base snapshot (op marker)
+    eng.t_frontier.append(df)  # delta snapshot → resolution path runs
+    got = (
+        eng.frontier_view()
+        .toPandas()
+        .drop_duplicates()
+        .set_index("canon_url")
+        .sort_index()
+    )
+    assert set(got.index) == {"u1", "u3", "u4", "u5", "u6"}
+    assert (got.loc["u1"].depth, got.loc["u1"].discovery_time) == (1, 0)
+    assert got.loc["u3"].attempt == 1
+    assert (got.loc["u4"].attempt, got.loc["u4"].depth) == (1, 1)
+    assert got.loc["u6"].attempt == 1
+
+
 def test_hash_parity_python_spark_duckdb(spark):
     """md5-derived bucket/long identical across all three engines."""
     import duckdb
