@@ -16,24 +16,28 @@ and ONE dedup join (Bloom-prefiltered exact left_anti). Fetch, parse,
 and image decode run inside Arrow-batched pandas stages with no
 shuffle.
 
-Round execution shape (round 2): ONE fused driver action (stats +
-Bloom-delta segments in a single collect over the cached fetch), then
-the four table writes — crawl log, fetch errors, image payload,
-frontier delta — run CONCURRENTLY from a thread pool; they touch
-disjoint tables and the frontier delta derives its seen set from
-(pre-round seen ∪ this round's terminal fetches), so nothing orders
-them. This collapses the sequential per-round job-latency floor that
-capped N→4N scaling efficiency in round 1 (VERDICT r01).
+Round execution shape: ONE fused driver action (stats + Bloom-delta
+segments in a single collect over the cached fetch), then the table
+writes — crawl log, fetch errors, image payload, frontier delta (with
+compaction chained inside), bloom delta — run CONCURRENTLY from a
+thread pool; they touch disjoint tables and the frontier delta
+derives its seen set from (pre-round seen ∪ this round's terminal
+fetches), so nothing orders them. This collapses the sequential
+per-round job-latency floor that capped N→4N scaling efficiency in
+round 1 (VERDICT r01).
 
-Determinism: the crawl log carries a global ``seq`` assigned by sorting
-on the spec's total order and enumerating with ``zipWithIndex`` (two
-passes, no single-partition shuffle). No wall clock or randomness
-touches any order-observable value; round wall-times go only to the
-metrics table.
+Determinism: the crawl log carries a global ``seq`` in the spec's
+total order, assigned by per-bucket row_number windows plus
+driver-side cumulative offsets from the fused stats collect
+(``with_global_seq`` — JVM-side, no single-partition sort, no RDD
+round-trip). No wall clock or randomness touches any order-observable
+value; round wall-times go only to the metrics table.
 
 Scale notes (10^10 frontier): the frontier is MERGE-ON-READ — rounds
 append O(delta) 'del'/'add' records and the pending view is resolved
-with one max_by hash-aggregate; every ``compact_every`` deltas the
+with a first-add-wins window (one canon_url exchange — re-discovering
+a pending url is a no-op, so no frontier-subtraction joins exist
+anywhere in the loop); every ``compact_every`` deltas the
 resolved view is rewritten as a single snapshot hive-partitioned by
 host_bucket (Iceberg analog: positional deletes + periodic compaction
 into ``PARTITIONED BY (bucket(host))``). url_seen stays DERIVED from
