@@ -22,10 +22,14 @@ Two liveness modes (identical output):
   its page (without the cache the per-round liveness check and the
   final union would re-execute fetch_page for all prior pages —
   O(pages²) recompute, and re-FIRED requests against a remote client).
-  Page caches are tracked module-wide and released at the START of the
-  next enrich_paginated call (so repeated calls in a long-lived driver
-  hold at most one call's pages — ADVICE r02), or eagerly via
-  :func:`release_page_caches` once the result has been materialized.
+  The call is SELF-CONTAINED: the page union is eagerly
+  ``localCheckpoint``-ed (one materializing job — lineage to the page
+  frames is truncated, so fetch_page can never re-fire) and every page
+  cache is unpersisted before returning. Long-lived drivers hold no
+  residual page storage (ADVICE r02), and an earlier call's result
+  stays valid across later calls; the checkpointed blocks themselves
+  are released by Spark's ContextCleaner when the result frame is
+  garbage-collected.
 
 ``fetch_page`` is the client seam: any (DataFrame, page) → DataFrame
 of (key, payload...) rows — a broadcast-joined lookup table in tests,
@@ -46,23 +50,6 @@ from functools import reduce
 
 from pyspark.sql import DataFrame, functions as F
 
-# probe-mode page caches from the most recent call; released on the
-# next call (bounding long-lived drivers to one call's storage) or
-# eagerly via release_page_caches()
-_page_caches: list[DataFrame] = []
-
-
-def release_page_caches() -> None:
-    """Unpersist the previous probe-mode call's page caches. Call after
-    the enrichment result has been materialized (collected/written)."""
-    for df in _page_caches:
-        try:
-            df.unpersist()
-        except Exception:
-            pass
-    _page_caches.clear()
-
-
 def enrich_paginated(
     requests: DataFrame,
     fetch_page: Callable[[DataFrame, int], DataFrame],
@@ -80,8 +67,8 @@ def enrich_paginated(
     ``counts`` — optional ``(key, n_results)`` DataFrame — switches to
     the fully-lazy counts mode (see module docstring).
     """
-    release_page_caches()
     pages: list[DataFrame] = []
+    page_caches: list[DataFrame] = []
     if counts is not None:
         # one bounded scalar action: the global page count
         row = counts.agg(
@@ -106,7 +93,7 @@ def enrich_paginated(
             if active.isEmpty():
                 break
             res = fetch_page(active, page).persist()
-            _page_caches.append(res)
+            page_caches.append(res)
             pages.append(res.withColumn("page", F.lit(page).cast("int")))
             # a request stays active only while its last page came back full
             full = (
@@ -120,6 +107,13 @@ def enrich_paginated(
         got = None
     else:
         got = reduce(lambda a, b: a.unionByName(b), pages)
+        if page_caches:
+            # probe mode: pin the result once, then drop the page
+            # caches — the returned frame no longer references them,
+            # so no later work can re-fire fetch_page
+            got = got.localCheckpoint(eager=True)
+            for df in page_caches:
+                df.unpersist()
     if not outer:
         if got is None:
             raise ValueError("no pages fetched and outer=False")

@@ -225,11 +225,28 @@ def kmeans_centroids(
     parallel mean), which is why the oracle-twinned driver row keeps
     pinned first-k centroids and this function feeds the production
     path + the recall gate (test_ivf_kmeans_recall_clustered). Empty
-    clusters keep their previous centroid (left join + coalesce)."""
+    clusters keep their previous centroid (left join + coalesce).
+
+    Each iteration's ≤k-row centroid frame is collected into a LOCAL
+    relation (k×dim floats — a bounded driver action) before the next
+    one builds on it: the loop references ``cents`` twice per
+    iteration (assignment crossJoin + empty-cluster fallback join), so
+    a lazy chain would nest the full assign+mean subtree up to
+    2^iters deep and re-execute the dominant cost on every downstream
+    evaluation — the same plan-reuse hazard lsh_candidate_pairs
+    materializes its signature frame against."""
     from scraper_spark.functions.hashes import md5_long_col
 
+    def _as_local(df: DataFrame) -> DataFrame:
+        rows = sorted(
+            (r["cid"], [float(x) for x in r["cvec"]]) for r in df.collect()
+        )
+        return df.sparkSession.createDataFrame(
+            rows, "cid int, cvec array<float>"
+        )
+
     w = W.orderBy("h")
-    cents = (
+    cents = _as_local(
         embeddings.select(
             "embedding", md5_long_col(F.col("vec_id").cast("string")).alias("h")
         )
@@ -262,7 +279,7 @@ def kmeans_centroids(
                 ).alias("new_cvec")
             )
         )
-        cents = (
+        cents = _as_local(
             cents.join(means, "cid", "left")
             .select(
                 "cid", F.coalesce("new_cvec", F.col("cvec")).alias("cvec")

@@ -932,7 +932,8 @@ class CrawlEngine:
 
             _mark("bloom")
 
-            # ---- build the four independent table writes ---------------
+            # ---- build the independent table writes (up to five: log,
+            # errors, images, frontier+compaction, bloom delta) ----------
             # url_seen stays DERIVED from crawl_log + fetch_errors (see
             # seen_df) — no per-round table write for it
             log = with_global_seq(

@@ -52,20 +52,29 @@ REGISTRY: dict[str, str] = {
 # quotes, braces and statement separators are rejected outright
 _PARAM_OK = re.compile(r"^[A-Za-z0-9_\- .#]*$")
 _TABLE_OK = re.compile(r"^[A-Za-z_][A-Za-z0-9_.]*$")
+# placeholders the template wraps in single quotes — string slots; any
+# other {param} lands in the SQL unquoted and must be a real number
+# (the string whitelist admits spaces, which an unquoted slot would
+# read as extra SQL tokens: k="5 OFFSET 3")
+_QUOTED_SLOT = re.compile(r"'\{(\w+)\}'")
 
 
 def expand(name: str, tables: dict[str, str], params: dict[str, object]) -> str:
     """Expand a registry template to executable SQL (engine-agnostic:
     the same text runs on Spark and on DuckDB for the oracle twin)."""
     template = REGISTRY[name]
+    quoted = set(_QUOTED_SLOT.findall(template))
     for t, v in tables.items():
         if not _TABLE_OK.match(str(v)):
             raise ValueError(f"illegal table binding {t}={v!r}")
     for p, v in params.items():
-        if isinstance(v, (int, float)):
-            continue
-        if not _PARAM_OK.match(str(v)):
-            raise ValueError(f"illegal parameter value {p}={v!r}")
+        if p in quoted:
+            if not _PARAM_OK.match(str(v)):
+                raise ValueError(f"illegal parameter value {p}={v!r}")
+        elif isinstance(v, bool) or not isinstance(v, (int, float)):
+            raise ValueError(
+                f"unquoted parameter {p} must be numeric, got {v!r}"
+            )
     return template.format(**tables, **params)
 
 

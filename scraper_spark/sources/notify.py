@@ -23,18 +23,26 @@ from pyspark.sql import DataFrame, functions as F
 
 from scraper_spark.sources.tableio import TableIO
 
+# a transport receives PURE DATA (json-serializable scalars) — an
+# SMTP/webhook client can render or json.dumps the payload verbatim
 Transport = Callable[[dict], None]
 
 
-def table_transport(table: TableIO) -> Transport:
-    """Default transport: append one audit row per notification."""
+def table_transport(table: TableIO, spark=None) -> Transport:
+    """Default transport: append one audit row per notification.
+    ``spark`` defaults to the active session at send time (the sink
+    needs one to build the audit row; other transports don't)."""
 
     def send(payload: dict) -> None:
         import pandas as pd
 
-        spark = payload.pop("_spark")
+        from pyspark.sql import SparkSession
+
+        sess = spark or SparkSession.getActiveSession()
+        if sess is None:
+            raise RuntimeError("table_transport: no active SparkSession")
         table.append(
-            spark.createDataFrame(
+            sess.createDataFrame(
                 pd.DataFrame([payload]),
                 "run_id string, gate string, n_rows long, sample string",
             )
@@ -67,7 +75,6 @@ def notify_if(
     )
     transport(
         {
-            "_spark": df.sparkSession,
             "run_id": run_id,
             "gate": gate,
             "n_rows": int(n),

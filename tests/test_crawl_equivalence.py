@@ -290,17 +290,36 @@ def test_hash_parity_python_spark_duckdb(spark):
     vals = ["http://a.example/x", "h0.example", "täst", ""]
     pdf = pd.DataFrame({"s": vals})
     sdf = spark.createDataFrame(pdf)
+    dg = F.md5(F.col("s"))
     got_spark = [
-        (r[0], r[1])
+        tuple(r)
         for r in sdf.select(
-            H.md5_long_col(F.col("s")), H.bucket_col(F.col("s"), 64)
+            H.md5_long_col(F.col("s")),
+            H.bucket_col(F.col("s"), 64),
+            H.hex_long_col(dg, 1, 15),
+            H.hex_long_col(dg, 16, 13),
         ).collect()
     ]
     con = duckdb.connect()
     con.register("t", pdf)
     got_duck = con.sql(
-        f"SELECT {H.md5_long_sql('s')}, {H.bucket_sql('s', 64)} FROM t"
+        f"SELECT {H.md5_long_sql('s')}, {H.bucket_sql('s', 64)}, "
+        f"{H.hex_long_sql('md5(s)', 1, 15)}, "
+        f"{H.hex_long_sql('md5(s)', 16, 13)} FROM t"
     ).fetchall()
-    got_py = [(H.md5_long(v), H.bucket(v, 64)) for v in vals]
+    import hashlib
+
+    def hx(v):
+        return hashlib.md5(v.encode()).hexdigest()
+
+    got_py = [
+        (
+            H.md5_long(v),
+            H.bucket(v, 64),
+            H.hex_long(hx(v), 1, 15),
+            H.hex_long(hx(v), 16, 13),
+        )
+        for v in vals
+    ]
     assert got_spark == got_py
     assert [tuple(r) for r in got_duck] == got_py

@@ -134,6 +134,14 @@ def test_named_query_registry(spark):
             {"customer": "nq_customer; DROP"},
             {"segment": "X", "k": 2},
         )
+    # unquoted slots take real numbers only: a whitelist-clean STRING
+    # would expand to extra SQL tokens ("LIMIT 5 OFFSET 3")
+    with pytest.raises(ValueError):
+        expand(
+            "top_customers_by_balance",
+            {"customer": "nq_customer"},
+            {"segment": "X", "k": "5 OFFSET 3"},
+        )
 
 
 def test_notify_sink_gates_and_audits(spark, tmp_path):
