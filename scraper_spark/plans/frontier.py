@@ -471,7 +471,19 @@ class CrawlEngine:
         )
 
     def _maybe_compact(self) -> None:
-        if self._deltas_since_compact() >= self.compact_every:
+        """Rewrite the resolved view as one snapshot every
+        ``compact_every`` deltas — or every 4 while the table is SMALL
+        (footer row count, no job): each uncompacted delta adds a scan
+        node to every frontier_view plan, and in the latency-bound
+        drain regime (tiny rounds, multi-JVM job floors) that per-round
+        plan growth dominates while the rewrite costs ~nothing. At bulk
+        scale the 100k-row gate is never true and the O(frontier)
+        rewrite keeps its 16-delta amortization. Layout-only: the
+        resolved view is unchanged, so crawl output is invariant."""
+        n = self._deltas_since_compact()
+        if n >= self.compact_every or (
+            n >= 4 and self.t_frontier.rows() < 100_000
+        ):
             self.t_frontier.overwrite(
                 self._as_delta(self.frontier_view(), "add", -1),
                 partition_by=["host_bucket"],
