@@ -104,6 +104,38 @@ def test_resume_byte_identical(spark, fixture_dir, tmp_path_factory, crawl_pair)
     assert sa == sb
 
 
+def test_resume_rolls_back_torn_round(
+    spark, fixture_dir, tmp_path_factory, crawl_pair
+):
+    """Crash MID-round: the concurrent write pool committed some table
+    snapshots, but the crash landed before ``state.json`` advanced.
+    ``_resume`` must roll every table back to the last committed round
+    boundary so the re-run is byte-identical to an uninterrupted one."""
+    from scraper_spark.plans.frontier import FRONTIER_DELTA_SCHEMA, LOG_SCHEMA
+
+    eng_full, _, totals = crawl_pair
+    work = str(tmp_path_factory.mktemp("crawl_torn"))
+    eng = CrawlEngine(spark, fixture_dir, work, bloom_min_rows=0)
+    k = max(1, totals["rounds"] // 3)
+    eng.run(max_rounds=k)
+    # torn round k+1: log + frontier-delta appends landed, the other
+    # writes and the state commit did not (rows copied from round k —
+    # content is irrelevant, the snapshots just must be newer than the
+    # committed ids)
+    log_df = eng.t_log.read(spark, schema=LOG_SCHEMA)
+    eng.t_log.append(log_df.limit(7), partition_by=["url_bucket"])
+    fr = eng.t_frontier.read(spark, schema=FRONTIER_DELTA_SCHEMA)
+    eng.t_frontier.append(fr.limit(3))
+    eng2 = CrawlEngine(spark, fixture_dir, work, bloom_min_rows=0)
+    eng2.run()
+    pd.testing.assert_frame_equal(
+        _engine_log(eng_full, spark), _engine_log(eng2, spark)
+    )
+    assert set(eng2.seen_df().toPandas()["canon_url"]) == set(
+        eng_full.seen_df().toPandas()["canon_url"]
+    )
+
+
 def test_no_bloom_same_result(spark, fixture_dir, tmp_path_factory, crawl_pair):
     """Bloom is a prefilter only — disabling it must not change anything."""
     eng_full, _, _ = crawl_pair
