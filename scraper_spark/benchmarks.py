@@ -153,19 +153,28 @@ def run_crawl(cores: int, fixture: str, work_dir: str, decode_images: bool = Tru
 
     mode = os.environ.get("SPARK_GRAFT_BENCH_MODE", "local")
     if mode == "cluster":
-        # multi-JVM emulation: N separate 4-core executor JVMs, engine
-        # shipped as a zip exactly like spark-submit --py-files
+        # multi-JVM emulation: separate executor JVMs, engine shipped
+        # as a zip exactly like spark-submit --py-files.
+        # SPARK_GRAFT_EXEC_CORES sets cores PER executor (default 4 —
+        # a realistic executor shape). Setting it to 1 turns the
+        # (2, 8)-core pair into 2 vs 8 single-core executor JVMs: the
+        # north rule's N → 4N EXECUTORS measured with real process
+        # boundaries while total cores stay inside this VM's clean
+        # memory-bandwidth envelope (BENCH.md §hardware).
         os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "8g")
-        n_exec = max(1, cores // 4)
+        exec_cores = int(os.environ.get("SPARK_GRAFT_EXEC_CORES", "4"))
+        n_exec = max(1, cores // exec_cores)
+        exec_mem_mb = 5120 if exec_cores >= 4 else 3072
         spark = get_spark(
             app_name=f"crawl_bench_{cores}",
             cores=cores,
-            master=f"local-cluster[{n_exec},4,5120]",
+            master=f"local-cluster[{n_exec},{exec_cores},{exec_mem_mb}]",
             extra_conf={
-                "spark.executor.memory": "4g",
+                "spark.executor.memory": f"{exec_mem_mb - 512}m",
                 # each executor JVM sizes GC/JIT pools for ITS cores,
                 # not the machine's 32
-                "spark.executor.extraJavaOptions": "-XX:ActiveProcessorCount=4",
+                "spark.executor.extraJavaOptions":
+                    f"-XX:ActiveProcessorCount={exec_cores}",
             },
         )
         import sys
