@@ -481,8 +481,15 @@ class CrawlEngine:
         rewrite keeps its 16-delta amortization. Layout-only: the
         resolved view is unchanged, so crawl output is invariant."""
         n = self._deltas_since_compact()
-        if n >= self.compact_every or (
-            n >= 4 and self.t_frontier.rows() < 100_000
+        if n == 0:
+            return
+        rows = self.t_frontier.rows()
+        # drain regime (< 5k rows): compact EVERY round — the O(tiny)
+        # rewrite rides this same write job, and the next round's
+        # frontier_view takes the deltas==0 fast path, deleting the
+        # resolution exchange from every drain round entirely
+        if n >= self.compact_every or rows < 5_000 or (
+            n >= 4 and rows < 100_000
         ):
             self.t_frontier.overwrite(
                 self._as_delta(self.frontier_view(), "add", -1),
@@ -630,8 +637,12 @@ class CrawlEngine:
         # would serialize the Arrow decode onto a couple of cores →
         # repartition (cheap: little data). On full-scan rounds the scan
         # partitioning already covers the cores — repartitioning there
-        # would shuffle every image byte through disk for nothing.
-        if pruned and len(pbuckets) < self.parallelism:
+        # would shuffle every image byte through disk for nothing. And
+        # when the ROUND itself is tiny (drain rounds: a handful of
+        # images), the decode finishes faster inside the scan tasks
+        # than the extra shuffle stage costs — skip it.
+        tiny_round = n_ok is not None and n_ok < 4 * self.parallelism
+        if pruned and len(pbuckets) < self.parallelism and not tiny_round:
             joined = joined.repartition(self.parallelism, "image_id")
 
         keep_bytes = self.store_image_bytes
