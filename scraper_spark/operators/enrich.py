@@ -110,8 +110,20 @@ def enrich_paginated(
         if page_caches:
             # probe mode: pin the result once, then drop the page
             # caches — the returned frame no longer references them,
-            # so no later work can re-fire fetch_page
-            got = got.localCheckpoint(eager=True)
+            # so no later work can re-fire fetch_page. With a
+            # configured checkpoint dir the pin is a RELIABLE
+            # checkpoint (survives executor loss — the right setting
+            # when fetch_page hits a remote service from a real
+            # cluster); otherwise localCheckpoint, whose
+            # executor-local blocks trade durability for speed: lose
+            # an executor and the result frame must be rebuilt by
+            # calling enrich_paginated again (lineage was cut — the
+            # no-refire guarantee means no silent replay path).
+            sc = got.sparkSession.sparkContext
+            if sc.getCheckpointDir() is not None:
+                got = got.checkpoint(eager=True)
+            else:
+                got = got.localCheckpoint(eager=True)
             for df in page_caches:
                 df.unpersist()
     if not outer:

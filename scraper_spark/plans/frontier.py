@@ -470,7 +470,7 @@ class CrawlEngine:
             .select([f.name for f in FRONTIER_SCHEMA.fields])
         )
 
-    def _maybe_compact(self) -> None:
+    def _maybe_compact(self, frontier_rows: int | None = None) -> None:
         """Rewrite the resolved view as one snapshot every
         ``compact_every`` deltas — or every 4 while the table is SMALL
         (footer row count, no job): each uncompacted delta adds a scan
@@ -483,13 +483,19 @@ class CrawlEngine:
         n = self._deltas_since_compact()
         if n == 0:
             return
-        rows = self.t_frontier.rows()
+        # round-start footer count from run() (over-counts by this
+        # round's delta — the gates only pick WHEN to rewrite, so an
+        # off-by-a-round threshold crossing is harmless); only walk
+        # footers ourselves when called standalone, and never when the
+        # delta count alone already decides
+        if n < self.compact_every and frontier_rows is None:
+            frontier_rows = self.t_frontier.rows()
         # drain regime (< 5k rows): compact EVERY round — the O(tiny)
         # rewrite rides this same write job, and the next round's
         # frontier_view takes the deltas==0 fast path, deleting the
         # resolution exchange from every drain round entirely
-        if n >= self.compact_every or rows < 5_000 or (
-            n >= 4 and rows < 100_000
+        if n >= self.compact_every or frontier_rows < 5_000 or (
+            n >= 4 and frontier_rows < 100_000
         ):
             self.t_frontier.overwrite(
                 self._as_delta(self.frontier_view(), "add", -1),
@@ -1116,7 +1122,7 @@ class CrawlEngine:
             # (VERDICT r02 #5)
             def frontier_job():
                 self.t_frontier.append(deltas)
-                self._maybe_compact()
+                self._maybe_compact(frontier_rows)
 
             jobs.append(_timed("frontier", frontier_job))
             if bloom_delta_job is not None:

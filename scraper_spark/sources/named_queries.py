@@ -52,28 +52,47 @@ REGISTRY: dict[str, str] = {
 # quotes, braces and statement separators are rejected outright
 _PARAM_OK = re.compile(r"^[A-Za-z0-9_\- .#]*$")
 _TABLE_OK = re.compile(r"^[A-Za-z_][A-Za-z0-9_.]*$")
-# placeholders the template wraps in single quotes — string slots; any
-# other {param} lands in the SQL unquoted and must be a real number
-# (the string whitelist admits spaces, which an unquoted slot would
-# read as extra SQL tokens: k="5 OFFSET 3")
-_QUOTED_SLOT = re.compile(r"'\{(\w+)\}'")
+# String parameters must appear as WHOLE quoted slots '{param}'; a
+# param with ANY occurrence outside that form lands in the SQL
+# unquoted and must be a real number — the string whitelist admits
+# spaces, which an unquoted slot would read as extra SQL tokens
+# (k="5 OFFSET 3"). Classification is per OCCURRENCE: a param used
+# both quoted and unquoted is numeric-only (numbers are valid inside
+# quotes too), so no occurrence ever receives a multi-token string.
+_SLOT = re.compile(r"\{(\w+)\}")
+
+
+def _string_slot_params(template: str) -> set[str]:
+    """Params whose every occurrence is a whole quoted slot '{p}'."""
+    quoted_ok: dict[str, bool] = {}
+    for m in _SLOT.finditer(template):
+        is_quoted = (
+            m.start() > 0
+            and m.end() < len(template)
+            and template[m.start() - 1] == "'"
+            and template[m.end()] == "'"
+        )
+        p = m.group(1)
+        quoted_ok[p] = quoted_ok.get(p, True) and is_quoted
+    return {p for p, ok in quoted_ok.items() if ok}
 
 
 def expand(name: str, tables: dict[str, str], params: dict[str, object]) -> str:
     """Expand a registry template to executable SQL (engine-agnostic:
     the same text runs on Spark and on DuckDB for the oracle twin)."""
     template = REGISTRY[name]
-    quoted = set(_QUOTED_SLOT.findall(template))
+    string_ok = _string_slot_params(template)
     for t, v in tables.items():
         if not _TABLE_OK.match(str(v)):
             raise ValueError(f"illegal table binding {t}={v!r}")
     for p, v in params.items():
-        if p in quoted:
+        if p in string_ok:
             if not _PARAM_OK.match(str(v)):
                 raise ValueError(f"illegal parameter value {p}={v!r}")
         elif isinstance(v, bool) or not isinstance(v, (int, float)):
             raise ValueError(
-                f"unquoted parameter {p} must be numeric, got {v!r}"
+                f"parameter {p} has an unquoted slot and must be "
+                f"numeric, got {v!r}"
             )
     return template.format(**tables, **params)
 

@@ -30,15 +30,21 @@ Transport = Callable[[dict], None]
 
 def table_transport(table: TableIO, spark=None) -> Transport:
     """Default transport: append one audit row per notification.
-    ``spark`` defaults to the active session at send time (the sink
-    needs one to build the audit row; other transports don't)."""
+    The session (which only this table sink needs — other transports
+    are Spark-free) is captured at CONSTRUCTION time when not given:
+    getActiveSession() is a JVM thread-local under pinned-thread mode,
+    so resolving it here keeps the transport callable from worker
+    threads (e.g. a write pool) that never created a session."""
+    from pyspark.sql import SparkSession
+
+    captured = spark or SparkSession.getActiveSession()
 
     def send(payload: dict) -> None:
         import pandas as pd
 
         from pyspark.sql import SparkSession
 
-        sess = spark or SparkSession.getActiveSession()
+        sess = captured or SparkSession.getActiveSession()
         if sess is None:
             raise RuntimeError("table_transport: no active SparkSession")
         table.append(

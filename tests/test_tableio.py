@@ -142,6 +142,13 @@ def test_named_query_registry(spark):
             {"customer": "nq_customer"},
             {"segment": "X", "k": "5 OFFSET 3"},
         )
+    # slot classification is per OCCURRENCE: a param used both quoted
+    # and unquoted is numeric-only, and a partial slot ('%{p}%') is
+    # not a string slot
+    from scraper_spark.sources.named_queries import _string_slot_params
+
+    assert _string_slot_params("WHERE a = '{x}' LIMIT {x}") == set()
+    assert _string_slot_params("LIKE '%{x}%' AND b = '{y}'") == {"y"}
 
 
 def test_notify_sink_gates_and_audits(spark, tmp_path):
