@@ -9,11 +9,14 @@ plumbing (schema, partitioning, UDF signature, batch shape) real.
 Video is NOT stubbed: ``SGV1`` is a trivial but real container —
 magic, frame count, then length-prefixed PNG frames — decoded with the
 repo's own codec (functions/imagecodec), so frame sampling, dims, and
-per-frame phash are bit-real and tested. Audio IS stubbed: there is no
-audio codec in this sandbox, so ``decode_audio`` raises
-``NotImplementedError`` and ``audio_features`` substitutes a
-clearly-marked deterministic fake (md5-derived pseudo-features) that
-keeps the dataflow shape testable.
+per-frame phash are bit-real and tested. Audio is real for
+UNCOMPRESSED payloads: RIFF/WAVE is a public container needing no
+codec library, so ``decode_audio`` parses PCM 8/16/32-bit and IEEE
+float32 waveforms with pure struct+numpy (``encode_wav`` is the
+fixture-side inverse). Compressed codecs (MP3/AAC/…) remain out of
+scope in this sandbox and raise ``ValueError``; for opaque non-WAV
+payloads ``audio_features(use_fake=True)`` keeps the clearly-marked
+deterministic fake so the dataflow shape stays testable.
 
 At scale: one video row can be large — the sampler is an iterator-of-
 batches ``mapInPandas`` (no shuffle), so rows stream through workers
@@ -113,13 +116,79 @@ def sample_frames(
 
 
 # ------------------------------------------------------------------ audio --
-def decode_audio(data: bytes) -> np.ndarray:
-    """STUB — no audio codec ships in this sandbox. The real
-    implementation decodes to a waveform ndarray; the dataflow around
-    it (audio_features) is exercised with the deterministic fake."""
-    raise NotImplementedError(
-        "audio decode requires a codec library not present in this sandbox"
+_WAV_FMT_PCM = 1
+_WAV_FMT_FLOAT = 3
+
+
+def encode_wav(wave: np.ndarray, sample_rate: int = 16_000) -> bytes:
+    """Float waveform in [-1, 1] → RIFF/WAVE 16-bit PCM bytes. Accepts
+    shape (n,) mono or (n, ch); channels interleave frame-major as the
+    format requires."""
+    w = np.asarray(wave, dtype=np.float64)
+    if w.ndim == 1:
+        w = w[:, None]
+    pcm = np.clip(np.round(w * 32767.0), -32768, 32767).astype("<i2")
+    ch = pcm.shape[1]
+    data = pcm.tobytes()
+    fmt = struct.pack(
+        "<HHIIHH", _WAV_FMT_PCM, ch, sample_rate, sample_rate * ch * 2, ch * 2, 16
     )
+    return b"".join(
+        [
+            b"RIFF",
+            struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data)),
+            b"WAVE",
+            b"fmt ",
+            struct.pack("<I", len(fmt)),
+            fmt,
+            b"data",
+            struct.pack("<I", len(data)),
+            data,
+        ]
+    )
+
+
+def decode_audio(data: bytes) -> tuple[np.ndarray, int]:
+    """Real RIFF/WAVE decode — WAV is a public uncompressed container,
+    so no codec library is needed: pure struct chunk-walk + numpy
+    frombuffer. Returns (waveform, sample_rate); waveform is float64
+    in [-1, 1], shape (n_frames,) for mono else (n_frames, n_channels).
+    Handles PCM 8-bit unsigned / 16-bit / 32-bit signed and IEEE
+    float32, skips foreign chunks (LIST, fact, …) with the format's
+    even-byte padding. Compressed codecs (MP3/AAC/…) stay out of scope
+    in this sandbox → ValueError, as does any non-RIFF payload."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    off, fmt, raw = 12, None, None
+    while off + 8 <= len(data):
+        cid, size = struct.unpack_from("<4sI", data, off)
+        off += 8
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", data, off)
+        elif cid == b"data":
+            raw = data[off : off + size]
+        off += size + (size & 1)  # chunks pad to even offsets
+    if fmt is None or raw is None:
+        raise ValueError("RIFF/WAVE missing fmt or data chunk")
+    code, ch, sr, _byte_rate, _align, bits = fmt
+    if code == _WAV_FMT_PCM and bits == 16:
+        w = np.frombuffer(raw[: len(raw) // 2 * 2], dtype="<i2")
+        w = w.astype(np.float64) / 32768.0
+    elif code == _WAV_FMT_PCM and bits == 8:
+        w = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif code == _WAV_FMT_PCM and bits == 32:
+        w = np.frombuffer(raw[: len(raw) // 4 * 4], dtype="<i4")
+        w = w.astype(np.float64) / 2147483648.0
+    elif code == _WAV_FMT_FLOAT and bits == 32:
+        w = np.frombuffer(raw[: len(raw) // 4 * 4], dtype="<f4").astype(np.float64)
+    else:
+        raise ValueError(
+            f"unsupported WAVE format code={code} bits={bits} "
+            "(compressed codecs are out of scope in this sandbox)"
+        )
+    if ch > 1:
+        w = w[: len(w) // ch * ch].reshape(-1, ch)
+    return w, sr
 
 
 def _fake_audio_features(blob: bytes) -> tuple[float, float, int]:
@@ -134,11 +203,13 @@ def audio_features(
     audio: DataFrame,
     id_col: str = "audio_id",
     bytes_col: str = "abytes",
-    use_fake: bool = True,
+    use_fake: bool = False,
 ) -> DataFrame:
-    """(audio_id, duration_s, rms, sample_rate) per clip. With
-    ``use_fake=False`` this calls the (stubbed) real decoder — the
-    production path once a codec is available."""
+    """(audio_id, duration_s, rms, sample_rate) per clip. The default
+    path REALLY decodes (RIFF/WAVE PCM via decode_audio); pass
+    ``use_fake=True`` for opaque non-WAV fixture payloads — that path
+    substitutes the clearly-marked md5-derived fake so the dataflow
+    shape stays testable without a compressed-codec library."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -152,10 +223,13 @@ def audio_features(
                 if use_fake:
                     dur, rms, sr = _fake_audio_features(blob)
                 else:
-                    wave = decode_audio(blob)  # NotImplementedError here
-                    sr = 16_000
+                    wave, sr = decode_audio(blob)
                     dur = round(len(wave) / sr, 2)
-                    rms = round(float(np.sqrt((wave**2).mean())), 4)
+                    rms = (
+                        round(float(np.sqrt((wave**2).mean())), 4)
+                        if len(wave)
+                        else 0.0
+                    )
                 rows.append((aid, dur, rms, sr))
             yield pd.DataFrame(
                 rows, columns=["audio_id", "duration_s", "rms", "sample_rate"]

@@ -94,18 +94,50 @@ def test_video_container_and_frame_sampler(spark):
         assert ph == phash64(frames[idx])
 
 
-def test_audio_stub_and_fake_features(spark):
+def test_audio_wav_roundtrip_and_features(spark):
+    import numpy as np
     import pytest as _pytest
 
     from scraper_spark.functions import video_ops as V
 
-    with _pytest.raises(NotImplementedError):
+    # pixel-exact analog for audio: encode→decode round-trip within
+    # 16-bit quantization, on a known sine (RMS = 1/√2 analytically)
+    sr = 8_000
+    t = np.arange(sr * 2, dtype=np.float64) / sr  # 2.0 s
+    sine = np.sin(2 * np.pi * 440.0 * t)
+    # conventional asymmetric PCM mapping (encode ×32767, decode
+    # ÷32768) bounds the error at |x|/32768 + rounding ≤ 1.5/32768
+    wave, got_sr = V.decode_audio(V.encode_wav(sine, sample_rate=sr))
+    assert got_sr == sr and wave.shape == sine.shape
+    assert np.abs(wave - sine).max() <= 1.5 / 32_768
+    # stereo keeps frame-major interleave: (n, 2) in → (n, 2) out
+    st = np.stack([sine, -sine], axis=1)
+    wst, _ = V.decode_audio(V.encode_wav(st, sample_rate=sr))
+    assert wst.shape == st.shape and np.abs(wst - st).max() <= 1.5 / 32_768
+    # non-WAV payloads are a ValueError (compressed codecs out of scope)
+    with _pytest.raises(ValueError):
         V.decode_audio(b"xx")
+
+    # real-decode path through the Spark stage
     df = spark.createDataFrame(
-        [("a0", b"payload0"), ("a1", b"payload1")], "audio_id string, abytes binary"
+        [
+            ("a0", bytearray(V.encode_wav(sine, sample_rate=sr))),
+            ("a1", bytearray(V.encode_wav(0.5 * sine, sample_rate=16_000))),
+        ],
+        "audio_id string, abytes binary",
     )
     out = V.audio_features(df).toPandas().sort_values("audio_id")
-    out2 = V.audio_features(df).toPandas().sort_values("audio_id")
     assert list(out.audio_id) == ["a0", "a1"]
-    assert (out.reset_index(drop=True) == out2.reset_index(drop=True)).all().all()
-    assert (out.sample_rate == 16_000).all()
+    assert list(out.sample_rate) == [sr, 16_000]
+    assert list(out.duration_s) == [2.0, 1.0]
+    assert abs(out.rms.iloc[0] - 1 / np.sqrt(2)) < 1e-3
+    assert abs(out.rms.iloc[1] - 0.5 / np.sqrt(2)) < 1e-3
+
+    # opaque non-WAV payloads keep the marked deterministic-fake path
+    opaque = spark.createDataFrame(
+        [("b0", b"payload0"), ("b1", b"payload1")], "audio_id string, abytes binary"
+    )
+    f1 = V.audio_features(opaque, use_fake=True).toPandas().sort_values("audio_id")
+    f2 = V.audio_features(opaque, use_fake=True).toPandas().sort_values("audio_id")
+    assert (f1.reset_index(drop=True) == f2.reset_index(drop=True)).all().all()
+    assert (f1.sample_rate == 16_000).all()
