@@ -67,6 +67,7 @@ from pyspark.sql import types as T
 from scraper_spark.functions.canon import canonicalize_udf, host_udf
 from scraper_spark.functions.hashes import bucket_col
 from scraper_spark.functions.imagecodec import decode_image, phash64
+from scraper_spark.plans import cuckoo
 from scraper_spark.plans import seen as bloom
 from scraper_spark.plans.spec import (
     N_HOST_BUCKETS,
@@ -194,6 +195,7 @@ class CrawlEngine:
         compact_every: int = 16,
         seen_prune_min_rows: int = 1_000_000,
         bloom_probe_mode: str = "auto",
+        seen_filter: str = "bloom",
     ):
         self.spark = spark
         self.fixture_dir = fixture_dir
@@ -243,7 +245,22 @@ class CrawlEngine:
         # N_SEGMENTS grows past broadcastable and "join" is the only
         # shape that survives.
         assert bloom_probe_mode in ("auto", "broadcast", "join")
-        if bloom_probe_mode == "auto":
+        # seen_filter picks the probabilistic prefilter STRUCTURE (the
+        # exact anti-join downstream is identical either way — output
+        # invariance: test_cuckoo_filter_same_result): "bloom" = the
+        # default OR-mergeable bit segments (plans/seen.py), "cuckoo" =
+        # partial-key cuckoo tables (plans/cuckoo.py — deletable,
+        # 2-bucket probes, the north rule's named alternative). Cuckoo
+        # deltas are raw-hash lists (tables don't OR-merge), currently
+        # wired for the broadcast probe path only.
+        assert seen_filter in ("bloom", "cuckoo")
+        self.seen_filter = seen_filter
+        if seen_filter == "cuckoo":
+            assert bloom_probe_mode != "join", (
+                "cuckoo seen filter supports the broadcast probe mode only"
+            )
+            bloom_probe_mode = "broadcast"
+        elif bloom_probe_mode == "auto":
             filter_bytes = bloom.N_SEGMENTS * bloom.BITS_PER_SEGMENT // 8
             bloom_probe_mode = (
                 "broadcast"
@@ -296,7 +313,13 @@ class CrawlEngine:
         )
         self.parallelism = spark.sparkContext.defaultParallelism
 
-        self._bloom_segments: dict[int, np.ndarray] = {}
+        # broadcast-mode driver state: {seg: bit ndarray} (bloom) or
+        # {seg: CuckooSegment} (cuckoo); _filter_probe is the matching
+        # vectorized membership fn — both share probe(urls, segments)
+        self._bloom_segments: dict = {}
+        self._filter_probe = (
+            cuckoo.probe if seen_filter == "cuckoo" else bloom.probe
+        )
         self._bloom_bc = None
         self._round_persists: list[DataFrame] = []
 
@@ -305,6 +328,10 @@ class CrawlEngine:
         return os.path.join(self.work_dir, "state.json")
 
     BLOOM_SCHEMA = "seg int, bits array<long>"
+    # cuckoo filter state rows: kind='table' carries a serialized
+    # segment (packed fingerprint words + exact stash), kind='delta'
+    # carries the round's raw insertable hashes in `words`
+    CUCKOO_SCHEMA = "seg int, kind string, words array<long>, stash array<long>"
     # auto-mode ceiling for holding + broadcasting the merged filter
     # (comfortably under a 4-8 GB executor heap's broadcast budget)
     BLOOM_BROADCAST_MAX_BYTES = 256 << 20
@@ -317,16 +344,32 @@ class CrawlEngine:
         return self.t_bloom.current_snapshot_id() is not None
 
     def _append_bloom_delta(self, delta: dict) -> None:
-        """Append this round's OR-delta segments (broadcast mode; the
-        bits came back on the fused stats collect). O(touched segments)
-        rows; the merged filter is recovered on read by OR-merging
-        snapshots, and compaction keeps snapshot count bounded."""
+        """Append this round's filter delta (broadcast mode; the data
+        came back on the fused stats collect). Bloom: OR-delta bit
+        segments, merged on read. Cuckoo: raw-hash rows (kind='delta')
+        — tables don't OR-merge, so deltas stay insertable hashes and
+        compaction folds them into serialized tables. Either way the
+        rows are O(touched segments) / O(round urls) and snapshot count
+        stays bounded by compaction."""
         if not delta:
             return
-        pdf = bloom.segments_to_frame(delta)
-        self.t_bloom.append(
-            self.spark.createDataFrame(pdf, self.BLOOM_SCHEMA)
-        )
+        if self.seen_filter == "cuckoo":
+            pdf = pd.DataFrame(
+                {
+                    "seg": list(delta.keys()),
+                    "kind": "delta",
+                    "words": [np.asarray(v, dtype=np.int64).tolist() for v in delta.values()],
+                    "stash": [[] for _ in delta],
+                }
+            )
+            self.t_bloom.append(
+                self.spark.createDataFrame(pdf, self.CUCKOO_SCHEMA)
+            )
+        else:
+            pdf = bloom.segments_to_frame(delta)
+            self.t_bloom.append(
+                self.spark.createDataFrame(pdf, self.BLOOM_SCHEMA)
+            )
         self._maybe_compact_bloom()
 
     def _bloom_deltas_since_compact(self) -> int:
@@ -342,6 +385,13 @@ class CrawlEngine:
             return
         if self.bloom_probe_mode == "broadcast":
             # the driver already holds the merged state — free rewrite
+            if self.seen_filter == "cuckoo":
+                pdf = cuckoo.segments_to_frame(self._bloom_segments)
+                pdf.insert(1, "kind", "table")
+                self.t_bloom.overwrite(
+                    self.spark.createDataFrame(pdf, self.CUCKOO_SCHEMA)
+                )
+                return
             pdf = bloom.segments_to_frame(self._bloom_segments)
             self.t_bloom.overwrite(
                 self.spark.createDataFrame(pdf, self.BLOOM_SCHEMA)
@@ -358,10 +408,25 @@ class CrawlEngine:
     def _load_bloom(self) -> None:
         """Rebuild the driver-held merged segments from the table
         (broadcast mode resume). Join mode never holds bits on the
-        driver — the table IS the state."""
+        driver — the table IS the state. Cuckoo: merge the serialized
+        'table' rows, then insert the not-yet-compacted 'delta' hashes
+        (insertion order doesn't affect membership, which is all the
+        prefilter contract requires)."""
         self._bloom_segments = {}
-        if self.t_bloom.current_snapshot_id() is not None:
-            pdf = self.t_bloom.read(self.spark).toPandas()
+        if self.t_bloom.current_snapshot_id() is None:
+            return
+        pdf = self.t_bloom.read(self.spark).toPandas()
+        if self.seen_filter == "cuckoo":
+            tables = pdf[pdf["kind"] == "table"]
+            segs = cuckoo.merge_segment_frames([tables]) if len(tables) else {}
+            for seg_id, hashes in zip(
+                pdf[pdf["kind"] == "delta"]["seg"],
+                pdf[pdf["kind"] == "delta"]["words"],
+            ):
+                f = segs.setdefault(int(seg_id), cuckoo.CuckooSegment())
+                f.insert_hashes(np.asarray(hashes, dtype=np.int64))
+            self._bloom_segments = segs
+        else:
             self._bloom_segments = bloom.merge_segment_frames([pdf])
 
     def _commit_state(self, next_round: int, seq: int) -> None:
@@ -734,12 +799,13 @@ class CrawlEngine:
             marked = self._probe_join_mark(fresh, schema + ", _maybe boolean")
         else:
             bc = self._bloom_bc
+            probe_fn = self._filter_probe  # bloom or cuckoo, same contract
 
             def mark(batches):
                 for pdf in batches:
                     if len(pdf) == 0:
                         continue
-                    maybe = bloom.probe(pdf["canon_url"], bc.value)
+                    maybe = probe_fn(pdf["canon_url"], bc.value)
                     yield pdf.assign(_maybe=maybe)
 
             marked = fresh.mapInPandas(mark, schema + ", _maybe boolean")
@@ -872,7 +938,16 @@ class CrawlEngine:
                 and bool(self._bloom_segments)
             )
             if fuse_bloom_delta:
-                bloom_agg = bloom.build_segments(terminal).select(
+                # same (seg, bits) fused shape for either filter: bloom
+                # rides its OR-delta bit segments, cuckoo its raw-hash
+                # lists (cuckoo.hash_segments) — the union schema and
+                # the single per-round collect don't change
+                delta_src = (
+                    cuckoo.hash_segments(terminal)
+                    if self.seen_filter == "cuckoo"
+                    else bloom.build_segments(terminal)
+                )
+                bloom_agg = delta_src.select(
                     F.lit("bloom").alias("kind"),
                     F.lit(None).cast("int").alias("host_bucket"),
                     F.lit(None).cast("int").alias("status"),
@@ -915,7 +990,40 @@ class CrawlEngine:
             # build is a lazy DataFrame appended by the write pool, and
             # the probe cogroups against the table.
             bloom_delta_job = None
-            if self.use_bloom and self.bloom_probe_mode == "broadcast":
+            if (
+                self.use_bloom
+                and self.bloom_probe_mode == "broadcast"
+                and self.seen_filter == "cuckoo"
+            ):
+                # cuckoo deltas are raw-hash lists; the driver INSERTS
+                # them (a cuckoo table can't be OR-merged) and persists
+                # the same hashes as kind='delta' rows
+                delta_c: dict[int, np.ndarray] = {}
+                if fuse_bloom_delta:
+                    delta_c = {
+                        int(seg): np.asarray(bits, dtype=np.int64)
+                        for seg, bits in bloom_rows
+                    }
+                elif seq_new >= self.bloom_min_rows:
+                    pdf = cuckoo.hash_segments(
+                        seen_base.unionByName(terminal)
+                    ).toPandas()
+                    delta_c = {
+                        int(s): np.asarray(b, dtype=np.int64)
+                        for s, b in zip(pdf["seg"], pdf["bits"])
+                    }
+                if delta_c:
+                    for seg, hashes in delta_c.items():
+                        f = self._bloom_segments.setdefault(
+                            seg, cuckoo.CuckooSegment()
+                        )
+                        f.insert_hashes(hashes)
+                    self._refresh_bloom_bc()
+
+                    def bloom_delta_job(d=delta_c):
+                        self._append_bloom_delta(d)
+
+            elif self.use_bloom and self.bloom_probe_mode == "broadcast":
                 delta: dict[int, np.ndarray] = {}
                 if fuse_bloom_delta:
                     delta = bloom.merge_segment_frames(

@@ -222,6 +222,33 @@ def test_bloom_join_probe_same_result(spark, fixture_dir, tmp_path_factory, craw
         assert (tbl[seg] == ref[seg]).all()
 
 
+def test_cuckoo_filter_same_result(spark, fixture_dir, tmp_path_factory, crawl_pair):
+    """seen_filter='cuckoo' (partial-key cuckoo tables instead of Bloom
+    bit segments — the north rule's named alternative) must be
+    output-identical to the default: either structure only prefilters
+    the exact anti-join. Also checks the filter state round-trips
+    through its table (kind='table'/'delta' rows) with full membership
+    and that a resumed engine rebuilds it."""
+    eng_full, _, _ = crawl_pair
+    work = str(tmp_path_factory.mktemp("crawl_cuckoo"))
+    eng = CrawlEngine(spark, fixture_dir, work, bloom_min_rows=0,
+                      seen_filter="cuckoo")
+    eng.run()
+    pd.testing.assert_frame_equal(_engine_log(eng_full, spark), _engine_log(eng, spark))
+    assert eng.bloom_probe_mode == "broadcast"
+    assert eng._bloom_segments, "cuckoo segments never activated"
+    seen_urls = eng.seen_df().toPandas()["canon_url"]
+    from scraper_spark.plans import cuckoo as C
+
+    # live driver state: every seen url must read MAYBE (no-FN contract)
+    assert C.probe(seen_urls, eng._bloom_segments).all()
+    # cold resume rebuilds the filter from the committed table
+    eng2 = CrawlEngine(spark, fixture_dir, work, bloom_min_rows=0,
+                       seen_filter="cuckoo")
+    eng2.run()  # finished crawl → no-op resume
+    assert C.probe(seen_urls, eng2._bloom_segments).all()
+
+
 def test_retry_exhaustion_path(spark, tmp_path_factory):
     """max_attempts=1 makes every 503 exhaust immediately, so the
     fetch_errors table and the errors-union-seen derivation are
