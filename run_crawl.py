@@ -24,6 +24,12 @@ def main() -> None:
     ap.add_argument("--max-rounds", type=int, default=100_000)
     ap.add_argument("--no-images", action="store_true")
     ap.add_argument("--no-bloom", action="store_true")
+    ap.add_argument(
+        "--seen-filter",
+        choices=["bloom", "cuckoo"],
+        default="bloom",
+        help="seen-set prefilter structure (cuckoo = deletable tables)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -44,6 +50,7 @@ def main() -> None:
         args.work,
         use_bloom=not args.no_bloom,
         decode_images=not args.no_images,
+        seen_filter=args.seen_filter,
     )
     t0 = time.monotonic()
     totals = eng.run(max_rounds=args.max_rounds)
