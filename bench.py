@@ -65,23 +65,26 @@ def run_queries(sf_dir: str, cpus: int) -> dict[str, float]:
     return out
 
 
-def select_best_pair(pairs, run_pair=None, floor=0.85):
+def select_best_pair(pairs, run_pair=None, floor=0.85, ceiling=1.02):
     """Pick the (8-core, 2-core) pair from the least-throttled window
     (fastest 8-core steady rate). A throttle episode can straddle BOTH
     scheduled pairs (episodes run multi-minute; a pair takes ~5): if
     even the best pair's steady N→4N efficiency reads below `floor` —
     the value every clean-window sample clears (BENCH.md: 0.876-0.989)
-    — spend exactly ONE extra pair hoping to land outside the episode,
-    then keep the best of the three. Selection stays fastest-8 (least
-    throttled), never highest-ratio, so noise can't flatter the
-    number."""
+    — OR above `ceiling` (super-linear scaling is physically
+    implausible here: it means the 2-core half was throttled, which
+    would FLATTER the ratio — ADVICE r03), spend exactly ONE extra
+    pair hoping to land outside the episode, then keep the best of
+    the three. Selection stays fastest-8 (least throttled), never
+    highest-ratio, so the retry is symmetric and noise can't flatter
+    the number."""
 
     def best_of(ps):
         return max(ps, key=lambda p: p[0]["steady_pages_per_sec"])
 
     best = best_of(pairs)
     eff = best[0]["steady_pages_per_sec"] / (4.0 * best[1]["steady_pages_per_sec"])
-    if eff < floor and run_pair is not None:
+    if (eff < floor or eff > ceiling) and run_pair is not None:
         best = best_of(list(pairs) + [run_pair()])
     return best
 

@@ -58,6 +58,7 @@ def enrich_paginated(
     max_pages: int = 50,
     outer: bool = True,
     counts: DataFrame | None = None,
+    validate: bool = False,
 ) -> DataFrame:
     """Enrich ``requests`` through ``fetch_page`` until exhaustion.
 
@@ -66,6 +67,15 @@ def enrich_paginated(
     payload columns (explode_outer semantics, default_api.py:96-103).
     ``counts`` — optional ``(key, n_results)`` DataFrame — switches to
     the fully-lazy counts mode (see module docstring).
+
+    ``validate`` (counts mode only) adds a drift guard (ADVICE r03):
+    one bounded action comparing, per key, the rows actually fetched
+    against ``min(n_results, max_pages × page_size)`` — an
+    under-reporting counts frame whose lie is visible in the fetched
+    pages (a page returning more rows than the count allows) raises
+    instead of silently truncating. An under-report cut exactly at a
+    page boundary is indistinguishable from a true boundary — that
+    blind spot is fundamental to counts mode and documented here.
     """
     pages: list[DataFrame] = []
     page_caches: list[DataFrame] = []
@@ -126,6 +136,31 @@ def enrich_paginated(
                 got = got.localCheckpoint(eager=True)
             for df in page_caches:
                 df.unpersist()
+    if counts is not None and validate and got is not None:
+        actual = got.groupBy(key).agg(F.count("*").alias("_got"))
+        expected = counts.select(
+            key,
+            F.least(
+                F.col("n_results").cast("long"),
+                F.lit(int(max_pages) * int(page_size)).cast("long"),
+            ).alias("_exp"),
+        )
+        drift = (
+            actual.join(expected, key, "full")
+            .where(
+                F.coalesce(F.col("_got"), F.lit(0))
+                != F.coalesce(F.col("_exp"), F.lit(0))
+            )
+            .select(key, "_got", "_exp")
+            .limit(5)
+            .collect()
+        )
+        if drift:
+            raise ValueError(
+                "counts frame drift: fetched rows != reported n_results "
+                f"for keys {[(r[0], r[1], r[2]) for r in drift]} "
+                "(got, expected)"
+            )
     if not outer:
         if got is None:
             raise ValueError("no pages fetched and outer=False")

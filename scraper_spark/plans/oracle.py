@@ -15,7 +15,6 @@ from __future__ import annotations
 
 import os
 from dataclasses import dataclass, field
-from urllib.parse import urlsplit
 
 import pandas as pd
 
@@ -26,7 +25,7 @@ from scraper_spark.plans.spec import (
     PolitenessConfig,
     effective_status,
     host_bucket,
-    robots_blocked,
+    schedule_round,
 )
 
 
@@ -46,11 +45,6 @@ class CrawlResult:
     errors: list[str] = field(default_factory=list)
     images: pd.DataFrame | None = None  # image_id, canon_url, caption
     rounds: int = 0
-
-
-def _path_query(canon: str) -> str:
-    p = urlsplit(canon)
-    return p.path + (f"?{p.query}" if p.query else "")
 
 
 def crawl(
@@ -82,25 +76,11 @@ def crawl(
     seq = 0
 
     for rnd in range(max_rounds):
-        # -- candidates: frontier minus robots-blocked ------------------
-        candidates = [
-            e
-            for e in frontier.values()
-            if not robots_blocked(
-                _path_query(e.canon_url), pol.robots_disallow.get(e.host, [])
-            )
-        ]
-        if not candidates:
-            break
-
-        # -- schedule: per-host top-k by (depth, discovery_time, url) ---
-        by_host: dict[str, list[FrontierEntry]] = {}
-        for e in candidates:
-            by_host.setdefault(e.host, []).append(e)
-        scheduled: list[FrontierEntry] = []
-        for host, entries in by_host.items():
-            entries.sort(key=lambda e: (e.depth, e.discovery_time, e.canon_url))
-            scheduled.extend(entries[: pol.tokens(host)])
+        # -- robots filter + per-host budgeted top-k: THE shared kernel
+        # (spec.schedule_round — also the engine's tiny-frontier path)
+        scheduled: list[FrontierEntry] = schedule_round(
+            list(frontier.values()), pol
+        )
         if not scheduled:
             break
 

@@ -49,6 +49,38 @@ def robots_blocked(path_and_query: str, prefixes: list[str]) -> bool:
     return any(path_and_query.startswith(p) for p in prefixes)
 
 
+def path_query(canon_url: str) -> str:
+    from urllib.parse import urlsplit
+
+    p = urlsplit(canon_url)
+    return p.path + (f"?{p.query}" if p.query else "")
+
+
+def schedule_round(entries: list, pol: "PolitenessConfig") -> list:
+    """One round's politeness schedule over frontier entries (objects
+    with ``canon_url/host/depth/discovery_time`` attributes): robots
+    prefix filter, then per-host top-k by (depth, discovery_time,
+    canon_url) with k = pol.tokens(host). Returns the scheduled
+    entries (order NOT significant — the crawl log's total order is
+    applied downstream). This is THE schedule semantics, shared
+    verbatim by the oracle and the engine's tiny-frontier driver-side
+    fast path; the engine's distributed ``_schedule`` mirrors it in
+    DataFrame ops (equivalence: test_scale_paths_invariant +
+    test_schedule)."""
+    by_host: dict[str, list] = {}
+    for e in entries:
+        if robots_blocked(
+            path_query(e.canon_url), pol.robots_disallow.get(e.host, [])
+        ):
+            continue
+        by_host.setdefault(e.host, []).append(e)
+    out: list = []
+    for host, es in by_host.items():
+        es.sort(key=lambda e: (e.depth, e.discovery_time, e.canon_url))
+        out.extend(es[: pol.tokens(host)])
+    return out
+
+
 def effective_status(store_status: int | None, attempt: int) -> int:
     """Fetch outcome for a URL given the page_store row status and the
     0-based attempt counter. Missing page → 404. A 503 page succeeds

@@ -104,6 +104,21 @@ class TableIO:
         except FileNotFoundError:
             return False
 
+    @staticmethod
+    def _hive_key(d: str) -> str | None:
+        """The single hive partition key of ``d``, or None if the dir
+        is not single-key hive-partitioned."""
+        keys = set()
+        try:
+            for e in os.listdir(d):
+                if os.path.isdir(os.path.join(d, e)):
+                    if "=" not in e:
+                        return None
+                    keys.add(e.split("=", 1)[0])
+        except FileNotFoundError:
+            return None
+        return keys.pop() if len(keys) == 1 else None
+
     def _dirs_as_of(self, as_of: int | None) -> list[str]:
         m = self._load()
         sid = m["current"] if as_of is None else as_of
@@ -121,28 +136,34 @@ class TableIO:
         spark: SparkSession,
         as_of: int | None = None,
         schema: StructType | None = None,
+        partitions: dict[str, set] | None = None,
     ) -> DataFrame:
         """Read the table at ``as_of`` (default: current snapshot).
 
         An empty/absent table returns an empty DataFrame when ``schema``
         (or any committed snapshot schema) is available.
+
+        ``partitions`` — optional {partition_key: allowed int values}:
+        manifest-level file pruning, the Iceberg-manifest analog. On
+        the multi-root single-scan path below it prunes which leaf
+        directories are even listed; elsewhere it degrades to a
+        post-scan filter (single hive root: Catalyst partition
+        pruning does the skipping from the same predicate).
         """
         # a zero-row dynamic-partition write emits no parquet files at
         # all (just _SUCCESS) — such snapshots carry no schema and must
         # not reach spark.read.parquet, which would fail to infer one
         dirs = [d for d in self._dirs_as_of(as_of) if self._has_parquet(d)]
         if dirs:
-            if len(dirs) == 1 or not any(self._is_hive_dir(d) for d in dirs):
-                # unpartitioned snapshots: ONE scan node over all dirs
-                return spark.read.parquet(*dirs)
-            # hive-partitioned snapshots in the mix: Spark refuses
-            # multiple partitioned roots in a single load — read each
-            # root separately (partition-column inference stays per
-            # root) and union by name.
-            out = spark.read.parquet(dirs[0])
-            for d in dirs[1:]:
-                out = out.unionByName(spark.read.parquet(d))
-            return out
+            out = self._read_dirs(spark, dirs, partitions)
+            if out is not None:
+                if partitions:
+                    from pyspark.sql import functions as F
+
+                    for key, vals in partitions.items():
+                        out = out.where(F.col(key).isin(sorted(vals)))
+                return out
+            # partitions pruned every file away → empty frame below
         if schema is None:
             m = self._load()
             if m["snapshots"]:
@@ -150,6 +171,64 @@ class TableIO:
         if schema is None:
             raise ValueError(f"table {self.root} is empty and no schema given")
         return spark.createDataFrame([], schema)
+
+    def _read_dirs(
+        self,
+        spark: SparkSession,
+        dirs: list[str],
+        partitions: dict[str, set] | None = None,
+    ) -> DataFrame | None:
+        """One DataFrame over committed snapshot dirs — as FEW scan
+        relations as possible (an append-only partitioned table would
+        otherwise accrete one relation per append, growing every
+        downstream plan O(snapshots) — ADVICE r03):
+
+        - unpartitioned roots → one ``spark.read.parquet(*dirs)``;
+        - MULTIPLE roots all hive-partitioned by the SAME single int
+          key → one scan over the LEAF dirs across all roots (Spark
+          refuses multiple partitioned roots in one load, but the leaf
+          dirs hold plain files), with the partition column rebuilt
+          from the file path and ``partitions`` pruning which leaf
+          dirs are listed at all — the Iceberg manifest-pruning shape;
+        - anything mixed → per-root reads unioned by name (bounded by
+          compaction).
+
+        Returns None when ``partitions`` pruned every leaf away.
+        """
+        if len(dirs) == 1 or not any(self._is_hive_dir(d) for d in dirs):
+            return spark.read.parquet(*dirs)
+        keys = {self._hive_key(d) for d in dirs}
+        key = keys.pop() if len(keys) == 1 else None
+        if key is not None:
+            allowed = partitions.get(key) if partitions else None
+            leaves: list[str] = []
+            try:
+                for d in dirs:
+                    for e in sorted(os.listdir(d)):
+                        p = os.path.join(d, e)
+                        if not (os.path.isdir(p) and e.startswith(key + "=")):
+                            continue
+                        v = int(e.split("=", 1)[1])  # int keys only
+                        if allowed is not None and v not in allowed:
+                            continue
+                        leaves.append(p)
+            except ValueError:
+                key = None  # non-int partition value → per-root fallback
+            if key is not None:
+                if not leaves:
+                    return None
+                from pyspark.sql import functions as F
+
+                return spark.read.parquet(*leaves).withColumn(
+                    key,
+                    F.regexp_extract(
+                        F.input_file_name(), key + "=([0-9-]+)/", 1
+                    ).cast("int"),
+                )
+        out = spark.read.parquet(dirs[0])
+        for d in dirs[1:]:
+            out = out.unionByName(spark.read.parquet(d))
+        return out
 
     def rows(self, as_of: int | None = None) -> int:
         """Row count from parquet footers — no Spark job (the Iceberg

@@ -67,3 +67,30 @@ def test_extra_pair_kept_only_if_faster():
 def test_no_retry_hook_is_safe():
     degraded = _pair(2660.0, 806.0)
     assert select_best_pair([degraded]) is degraded
+
+
+def test_one_extra_pair_above_ceiling():
+    """Implausibly HIGH efficiency (throttled 2-core half flattering
+    the ratio) triggers the same single retry as a below-floor read —
+    the retry protocol is symmetric (ADVICE r03). Selection stays
+    fastest-8: the clean pair wins because its 8-core run is faster."""
+    calls = []
+    clean = _pair(3400.0, 950.0)  # eff 0.895
+
+    def extra():
+        calls.append(1)
+        return clean
+
+    flattered = _pair(3000.0, 650.0)  # eff 1.15 > 1.02 ceiling
+    assert select_best_pair([flattered], run_pair=extra) is clean
+    assert calls == [1]
+
+
+def test_above_ceiling_retry_cannot_flatter():
+    """If the retry pair is slower on the 8-core side, the original
+    (implausible) pair is still reported — selection by fastest-8 means
+    the ceiling retry can only REPLACE a suspect window with a faster
+    (less throttled) one, never shop for a better ratio."""
+    flattered = _pair(3000.0, 650.0)  # eff 1.15
+    slower = _pair(2500.0, 700.0)
+    assert select_best_pair([flattered], run_pair=lambda: slower) is flattered

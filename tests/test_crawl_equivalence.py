@@ -148,13 +148,17 @@ def test_no_bloom_same_result(spark, fixture_dir, tmp_path_factory, crawl_pair):
 def test_scale_paths_invariant(spark, fixture_dir, tmp_path_factory, crawl_pair):
     """One crawl with every scale-path knob forced to its large-corpus
     setting — images_broadcast_max=0 (shuffle-join payload path, the
-    plan a 10^6-row round takes) and compact_every=2 (aggressive
-    merge-on-read frontier compaction) — must be output-identical to
-    the default run: physical layout and join strategy are invisible."""
+    plan a 10^6-row round takes), compact_every=2 (aggressive
+    merge-on-read frontier compaction) and tiny_schedule_max=0 (the
+    DISTRIBUTED salted-window scheduling path on every round, never
+    the driver-side spec kernel) — must be output-identical to the
+    default run: physical layout, join strategy and schedule execution
+    site are invisible."""
     eng_full, _, _ = crawl_pair
     work = str(tmp_path_factory.mktemp("crawl_scalepaths"))
     eng = CrawlEngine(spark, fixture_dir, work, bloom_min_rows=0,
-                      images_broadcast_max=0, compact_every=2)
+                      images_broadcast_max=0, compact_every=2,
+                      tiny_schedule_max=0)
     eng.run()
     pd.testing.assert_frame_equal(
         _engine_log(eng_full, spark), _engine_log(eng, spark)
@@ -188,14 +192,16 @@ def test_seen_bucket_prune_invariant(spark, fixture_dir, tmp_path_factory, crawl
     assert set(eng.seen_df().toPandas()["canon_url"]) == set(
         eng_full.seen_df().toPandas()["canon_url"]
     )
-    # the pruned derivation pushes url_bucket into PartitionFilters
+    # the pruned derivation opens ONLY the touched url buckets: TableIO
+    # prunes leaf dirs manifest-side (Iceberg-manifest analog), so the
+    # scan's file list — stronger than a PartitionFilters string — must
+    # contain no other bucket
     pruned = eng.seen_df(buckets={0, 1})
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        pruned.explain(True)
-    plan = buf.getvalue()
-    assert "PartitionFilters" in plan
-    assert "url_bucket" in plan.split("PartitionFilters", 1)[1][:400]
+    files = pruned.inputFiles()
+    assert files, "pruned seen read lists no files"
+    assert all("url_bucket=0/" in f or "url_bucket=1/" in f for f in files), files
+    full_files = eng.seen_df().inputFiles()
+    assert len(files) < len(full_files)
 
 
 def test_bloom_join_probe_same_result(spark, fixture_dir, tmp_path_factory, crawl_pair):
@@ -277,6 +283,18 @@ def test_cuckoo_join_probe_same_result(spark, fixture_dir, tmp_path_factory, cra
     segs = C.segments_from_state_rows(state)
     seen_urls = eng.seen_df().toPandas()["canon_url"]
     assert C.probe(seen_urls, segs).all()
+
+
+def test_resume_seen_filter_mismatch_fails_fast(spark, fixture_dir, crawl_pair):
+    """Resuming a work dir with a different seen_filter than it was
+    written with must fail with an actionable error, not a raw
+    KeyError from parsing the other structure's table schema
+    (ADVICE r03)."""
+    eng_full, _, _ = crawl_pair
+    eng = CrawlEngine(spark, fixture_dir, eng_full.work_dir,
+                      bloom_min_rows=0, seen_filter="cuckoo")
+    with pytest.raises(ValueError, match="seen_filter"):
+        eng.run(max_rounds=1)
 
 
 def test_retry_exhaustion_path(spark, tmp_path_factory):

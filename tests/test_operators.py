@@ -122,6 +122,44 @@ def test_lsh_materialize_invariant(spark):
     release_signature_cache()
 
 
+def test_lsh_cache_thread_scoped(spark):
+    """The signature cache is per-thread (VERDICT r03 #7): a concurrent
+    lsh_candidate_pairs call + release from ANOTHER thread must not
+    unpersist the signature frame still feeding this thread's
+    unmaterialized result."""
+    import threading
+
+    from scraper_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": list(range(6)),
+                "text": [
+                    f"alpha beta gamma delta epsilon zeta eta theta {i}"
+                    for i in range(6)
+                ],
+            }
+        )
+    )
+    pairs_a = dedup.lsh_candidate_pairs(df)
+    sig_a = dedup._thread_sig_caches()[-1]
+    assert sig_a.is_cached
+
+    def other():
+        dedup.lsh_candidate_pairs(df).count()
+        dedup.release_signature_cache()
+
+    t = threading.Thread(target=other)
+    t.start()
+    t.join()
+    # the sibling's call + release must not have touched OUR cache
+    assert sig_a.is_cached
+    pairs_a.count()  # still materializes off the live cache
+    dedup.release_signature_cache()
+    assert not sig_a.is_cached
+
+
 def test_simhash_close_for_similar_docs(spark):
     from scraper_spark.operators.dedup import simhash
 
@@ -199,6 +237,24 @@ def test_enrich_paginated_loop_and_outer(spark):
     import pandas as pd
 
     pd.testing.assert_frame_equal(a, b)
+
+    # validate=True passes on truthful counts, and catches an
+    # UNDER-reporting counts frame whose lie the fetched pages reveal
+    # (ADVICE r03: silent page truncation becomes an error)
+    out3 = enrich_paginated(
+        requests, fetch_page, "key", ps, max_pages=5, counts=counts,
+        validate=True,
+    ).toPandas()
+    assert len(out3) == len(out2)
+    lying = counts.withColumn(
+        "n_results",
+        F.when(F.col("key") == 4, F.lit(2)).otherwise(F.col("n_results")),
+    )
+    with pytest.raises(ValueError, match="drift"):
+        enrich_paginated(
+            requests, fetch_page, "key", ps, max_pages=5, counts=lying,
+            validate=True,
+        ).count()
 
 
 def test_auto_sign_bits_bounds():
