@@ -491,6 +491,25 @@ def q_s_ivf_topk(spark, sf):
     return S.ivf_topk(_t(spark, sf, "embeddings"))
 
 
+def q_s_ivf_lists_topk(spark, sf):
+    # the STORED-lists IVF path (VERDICT r03 #3): materialize the
+    # inverted lists hive-partitioned by cid, then query them with
+    # driver-side centroid ranking so the probed cids are literals and
+    # the scan partition-prunes to nprobe lists. Result is identical to
+    # the inline q_s_ivf_topk (same pinned centroids), so it shares the
+    # SAME DuckDB oracle — the driver row proves the storage layout
+    # changes nothing but the plan.
+    import tempfile
+
+    from scraper_spark.sources.tableio import TableIO
+
+    emb = _t(spark, sf, "embeddings")
+    table = TableIO(tempfile.mkdtemp(prefix="ivf_lists_"))
+    S.ivf_build_lists(emb, table)
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    return S.ivf_topk_from_lists(spark, table, qvec, exclude_vec_id=0)
+
+
 # ---- pytest-only families promoted to driver rows (VERDICT r01 §2) ---
 def q_g_geo_datum(spark, sf):
     # Sc6 (utility_geocode.py:13-96): WGS-84→GCJ-02→BD-09 + approx
@@ -904,6 +923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_lsh_topk": q_s_lsh_topk,
         "s_neardup_pairs": q_s_neardup_pairs,
         "s_ivf_topk": q_s_ivf_topk,
+        "s_ivf_lists_topk": q_s_ivf_lists_topk,
         "g_geo_datum": q_g_geo_datum,
         "b_bloom_probe": q_b_bloom_probe,
         "i_phash_band_dedup": q_i_phash_band_dedup,
@@ -1181,6 +1201,10 @@ def oracle_sql() -> dict[str, str]:
         "s_lsh_topk": S.lsh_bucketed_topk_sql(),
         "s_neardup_pairs": S.neardup_pairs_sql(),
         "s_ivf_topk": S.ivf_topk_sql(),
+        # stored-lists path returns EXACTLY the inline IVF result (same
+        # pinned centroids, same ranking) — the twin is deliberately the
+        # same SQL; what differs is the Spark-side storage layout + plan
+        "s_ivf_lists_topk": S.ivf_topk_sql(),
         "g_geo_datum": _geo_oracle_sql(),
         "b_bloom_probe": _bloom_oracle_sql(),
         "i_phash_band_dedup": _phash_band_oracle_sql(),

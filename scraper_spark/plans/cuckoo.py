@@ -125,6 +125,15 @@ class CuckooSegment:
         return hit
 
     # ---------------------------------------------------------- delete ---
+    def delete_hashes(self, hashes: np.ndarray) -> int:
+        """Remove one stored copy per hash (sorted for determinism).
+        Returns how many were removed."""
+        n = 0
+        for h in sorted(int(x) for x in np.asarray(hashes, dtype=np.int64)):
+            if self.delete_hash(h):
+                n += 1
+        return n
+
     def delete_hash(self, h: int) -> bool:
         """Remove ONE copy of the item's fingerprint (valid only for
         items actually inserted — standard cuckoo-filter contract).
@@ -240,18 +249,46 @@ def merge_segment_frames(frames: list[pd.DataFrame]) -> dict[int, CuckooSegment]
 def segments_from_state_rows(pdf: pd.DataFrame) -> dict[int, CuckooSegment]:
     """{seg: CuckooSegment} from filter-STATE rows ``(seg, kind, words,
     stash)``: ``kind='table'`` rows are serialized segments (merged
-    first), ``kind='delta'`` rows carry raw insertable hashes
-    (inserted after, sorted inside insert_hashes). Shared by the
-    broadcast-mode driver resume and the seg-keyed cogroup join probe
-    (executors) — membership is insertion-order-invariant, which is all
-    the prefilter contract requires."""
+    first), ``kind='delta'`` rows carry raw insertable hashes (inserted
+    second, sorted inside insert_hashes), ``kind='del'`` rows carry raw
+    hashes whose copies are REMOVED last — the distributed deletion
+    path (re-crawl TTL) that keeps the structure's headline feature
+    when the filter is table-resident and never on the driver. Apply
+    order is tables → deltas → dels, so within one compaction window a
+    delete sees every insert; the standard cuckoo contract applies
+    (delete only items actually inserted — one stored copy is removed
+    per deleted hash, multiset semantics). Shared by the broadcast-mode
+    driver resume, the seg-keyed cogroup join probe (executors) and
+    join-mode compaction — membership is order-invariant given that
+    apply order, which is all the prefilter contract requires."""
     tables = pdf[pdf["kind"] == "table"]
     segs = merge_segment_frames([tables]) if len(tables) else {}
     deltas = pdf[pdf["kind"] == "delta"]
     for seg_id, hashes in zip(deltas["seg"], deltas["words"]):
         f = segs.setdefault(int(seg_id), CuckooSegment())
         f.insert_hashes(np.asarray(hashes, dtype=np.int64))
+    dels = pdf[pdf["kind"] == "del"]
+    for seg_id, hashes in zip(dels["seg"], dels["words"]):
+        f = segs.get(int(seg_id))
+        if f is not None:
+            f.delete_hashes(np.asarray(hashes, dtype=np.int64))
     return segs
+
+
+def delete_segments(urls_df: DataFrame, url_col: str = "canon_url") -> DataFrame:
+    """(seg, kind='del', words=sorted hashes, stash=[]) rows that, when
+    appended to the filter-state table, remove the urls from the filter
+    at the next merge site (probe cogroup / compaction / resume) — the
+    distributed analog of :func:`delete`, for re-crawl TTL eviction at
+    table scales where no driver should hold the filter."""
+    from pyspark.sql import functions as F
+
+    return hash_segments(urls_df, url_col).select(
+        "seg",
+        F.lit("del").alias("kind"),
+        F.col("bits").alias("words"),
+        F.array().cast("array<long>").alias("stash"),
+    )
 
 
 def segments_to_frame(segments: dict[int, CuckooSegment]) -> pd.DataFrame:

@@ -376,7 +376,9 @@ class CrawlEngine:
     BLOOM_SCHEMA = "seg int, bits array<long>"
     # cuckoo filter state rows: kind='table' carries a serialized
     # segment (packed fingerprint words + exact stash), kind='delta'
-    # carries the round's raw insertable hashes in `words`
+    # carries raw insertable hashes in `words`, kind='del' raw hashes
+    # to REMOVE (cuckoo.delete_segments — re-crawl TTL eviction),
+    # applied tables → deltas → dels at every merge site
     CUCKOO_SCHEMA = "seg int, kind string, words array<long>, stash array<long>"
     # auto-mode ceiling for holding + broadcasting the merged filter
     # (comfortably under a 4-8 GB executor heap's broadcast budget)

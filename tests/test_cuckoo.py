@@ -89,6 +89,32 @@ def test_distributed_build_matches_local(spark):
         assert dist[s].stash == local[s].stash
 
 
+def test_distributed_delete_rows(spark):
+    """kind='del' state rows (cuckoo.delete_segments) remove membership
+    at the merge site — the DISTRIBUTED deletion path (re-crawl TTL)
+    that works when the filter is table-resident and never on the
+    driver: build table rows + delete rows as DataFrames, fold them
+    with segments_from_state_rows (the same kernel the join-mode probe
+    and compaction run), and the deleted urls must read definitely-
+    unseen while every survivor still reads maybe-seen (no-FN)."""
+    urls = _urls(6_000)
+    df = spark.createDataFrame(pd.DataFrame({"canon_url": urls}))
+    tables = C.build_segments(df).toPandas()
+    tables.insert(1, "kind", "table")
+    gone = pd.Series(urls[: 1_000])
+    dels = C.delete_segments(
+        spark.createDataFrame(pd.DataFrame({"canon_url": gone}))
+    ).toPandas()
+    state = pd.concat([tables, dels], ignore_index=True)
+    segs = C.segments_from_state_rows(state)
+    kept = pd.Series(urls[1_000:]).reset_index(drop=True)
+    assert C.probe(kept, segs).all(), "no-FN broken for survivors"
+    # deleted urls may still collide with a survivor's fingerprint in
+    # the same bucket (standard FP), but the overwhelming majority must
+    # now read definitely-unseen
+    assert C.probe(gone, segs).mean() < 0.02
+
+
 def test_probe_signature_matches_bloom():
     """Drop-in seam: cuckoo.probe(pd.Series, segments) -> bool ndarray,
     empty-safe, like seen.probe."""
