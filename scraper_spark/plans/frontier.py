@@ -157,8 +157,9 @@ def _or_merge_segments(pdf: pd.DataFrame) -> pd.DataFrame:
 
 def _merge_cuckoo_state(pdf: pd.DataFrame) -> pd.DataFrame:
     """applyInPandas kernel: fold one segment's cuckoo state rows
-    (serialized kind='table' + raw-hash kind='delta') into ONE
-    kind='table' row — the join-mode compaction step."""
+    (serialized kind='table' + raw-hash kind='delta' inserts +
+    kind='del' removals, applied in that order) into ONE kind='table'
+    row — the join-mode compaction step."""
     segs = cuckoo.segments_from_state_rows(pdf)
     seg_id, f = next(iter(segs.items()))
     words, stash = f.to_arrays()
@@ -331,7 +332,7 @@ class CrawlEngine:
         # the per-round joins read them back; robots stays
         # pre-aggregated to (host, prefixes array) so the filter is one
         # broadcast join + exists(), no distinct/anti-join shuffles
-        # (plan-pinned at 10^6 hosts by test_schedule_dim_tables).
+        # (plan-pinned by test_schedule_dim_tables_million_hosts).
         # Reference analog being scaled: per-site config constants
         # (reference: handlers/haozu.py:19-23) and the logs-table
         # driven entity list (handlers/db.py:191-203).
@@ -768,16 +769,23 @@ class CrawlEngine:
         small = n_ok is None or n_ok <= self.images_broadcast_max
         right = F.broadcast(with_img) if small else with_img
         joined = store.join(right, ["pbucket", "image_id"], "inner")
-        # on heavily-pruned rounds the scan yields few partitions, which
-        # would serialize the Arrow decode onto a couple of cores →
-        # repartition (cheap: little data). On full-scan rounds the scan
-        # partitioning already covers the cores — repartitioning there
-        # would shuffle every image byte through disk for nothing. And
-        # when the ROUND itself is tiny (drain rounds: a handful of
-        # images), the decode finishes faster inside the scan tasks
-        # than the extra shuffle stage costs — skip it.
+        # decouple the decode stage from the scan tasks whenever the
+        # round is small enough to broadcast: decoding INSIDE the scan
+        # tasks interleaves the multi-GB store scan with Python IPC
+        # stalls and spreads the matched rows over hundreds of midget
+        # Arrow batches — measured 2× slower at BOTH 2 and 8 cores on a
+        # 5.7k-image round against the 8.8 GB bench store (BENCH.md r4:
+        # 36.8→17.2 s at 2 cores, 11.3→4.9 s at 8). The shuffle moves
+        # only the matched rows (≤ images_broadcast_max, the same bound
+        # that gated the broadcast). Full-scan-sized rounds skip it —
+        # there the post-join rows ARE the scan, and re-shuffling every
+        # image byte buys nothing. Tiny rounds (a handful of images)
+        # also skip: the decode finishes faster inside the scan tasks
+        # than the extra stage costs.
         tiny_round = n_ok is not None and n_ok < 4 * self.parallelism
-        if pruned and len(pbuckets) < self.parallelism and not tiny_round:
+        if not tiny_round and (
+            small or (pruned and len(pbuckets) < self.parallelism)
+        ):
             joined = joined.repartition(self.parallelism, "image_id")
 
         keep_bytes = self.store_image_bytes
