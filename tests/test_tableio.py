@@ -72,6 +72,37 @@ def test_empty_partitioned_overwrite_readable(spark, tmp_path):
     assert set(out.columns) == {"b", "s"}
 
 
+def test_multi_root_hive_reads_one_scan(spark, tmp_path):
+    """Multiple appends hive-partitioned by the same int key read back
+    as ONE scan relation over the leaf dirs (not a per-snapshot
+    unionByName chain — ADVICE r03): values + rebuilt partition column
+    correct, plan free of Union nodes, and `partitions=` prunes which
+    leaf dirs are even listed (manifest-level file pruning)."""
+    import contextlib
+    import io
+
+    t = TableIO(str(tmp_path / "mr"))
+    for vals, buckets in [([1, 2], [0, 1]), ([3, 4], [1, 2]), ([5], [0])]:
+        df = spark.createDataFrame(
+            pd.DataFrame({"x": vals, "b": buckets})
+        )
+        t.append(df, partition_by=["b"])
+    out = t.read(spark)
+    got = sorted((r.x, r.b) for r in out.collect())
+    assert got == [(1, 0), (2, 1), (3, 1), (4, 2), (5, 0)]
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain()
+    assert "Union" not in buf.getvalue()
+    # partitions= prunes the listed leaves: only b∈{0} files appear
+    pruned = t.read(spark, partitions={"b": {0}})
+    assert sorted((r.x, r.b) for r in pruned.collect()) == [(1, 0), (5, 0)]
+    assert all("b=0" in f for f in pruned.inputFiles())
+    # pruning everything away yields an empty frame with the schema
+    none = t.read(spark, partitions={"b": {99}})
+    assert none.count() == 0 and set(none.columns) == {"x", "b"}
+
+
 def test_store_bucket_count_meta_inference(tmp_path):
     import json as _json
     import os as _os
