@@ -510,6 +510,25 @@ def q_s_ivf_lists_topk(spark, sf):
     return S.ivf_topk_from_lists(spark, table, qvec, exclude_vec_id=0)
 
 
+def q_s_lsh_buckets_topk(spark, sf):
+    # the STORED sign-LSH index (bucket-partitioned table, driver-side
+    # bit-arithmetic probe keys → static partition pruning); result is
+    # identical to the inline q_s_lsh_topk, so it shares the same
+    # DuckDB oracle — the row proves the storage layout changes only
+    # the plan
+    import tempfile
+
+    from scraper_spark.sources.tableio import TableIO
+
+    emb = _t(spark, sf, "embeddings")
+    table = TableIO(tempfile.mkdtemp(prefix="lsh_buckets_"))
+    S.lsh_build_buckets(emb, table, n_bits=8)
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    return S.lsh_topk_from_buckets(
+        spark, table, qvec, n_bits=8, probe_hamming=1, exclude_vec_id=0
+    )
+
+
 # ---- pytest-only families promoted to driver rows (VERDICT r01 §2) ---
 def q_g_geo_datum(spark, sf):
     # Sc6 (utility_geocode.py:13-96): WGS-84→GCJ-02→BD-09 + approx
@@ -924,6 +943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_neardup_pairs": q_s_neardup_pairs,
         "s_ivf_topk": q_s_ivf_topk,
         "s_ivf_lists_topk": q_s_ivf_lists_topk,
+        "s_lsh_buckets_topk": q_s_lsh_buckets_topk,
         "g_geo_datum": q_g_geo_datum,
         "b_bloom_probe": q_b_bloom_probe,
         "i_phash_band_dedup": q_i_phash_band_dedup,
@@ -1205,6 +1225,9 @@ def oracle_sql() -> dict[str, str]:
         # pinned centroids, same ranking) — the twin is deliberately the
         # same SQL; what differs is the Spark-side storage layout + plan
         "s_ivf_lists_topk": S.ivf_topk_sql(),
+        # same deliberate oracle-sharing as s_ivf_lists_topk: the
+        # stored-bucket LSH path returns exactly the inline result
+        "s_lsh_buckets_topk": S.lsh_bucketed_topk_sql(),
         "g_geo_datum": _geo_oracle_sql(),
         "b_bloom_probe": _bloom_oracle_sql(),
         "i_phash_band_dedup": _phash_band_oracle_sql(),

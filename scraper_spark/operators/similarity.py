@@ -199,6 +199,72 @@ def lsh_bucketed_topk(
     return scored.orderBy(F.col("cosine").desc(), F.col("vec_id")).limit(k)
 
 
+def lsh_build_buckets(
+    embeddings: DataFrame, table, n_bits: int = N_SIGN_BITS
+) -> int:
+    """Materialize the sign-LSH index: every vector with its bucket,
+    written to ``table`` (a TableIO) hive-partitioned by ``bucket`` —
+    the layout :func:`lsh_bucketed_topk`'s docstring promises, as an
+    actual code path: a query then scans only its 1 + probed
+    partitions (plan-asserted by test_lsh_buckets_partition_pruned).
+    Runs once per corpus at 10^9 vectors; `n_bits` from
+    :func:`auto_sign_bits` keeps partitions near the target size."""
+    with_b = embeddings.withColumn(
+        "bucket", sign_bucket_col(F.col("embedding"), n_bits)
+    )
+    return table.overwrite(with_b, partition_by=["bucket"])
+
+
+def lsh_topk_from_buckets(
+    spark,
+    table,
+    qvec: list[float],
+    k: int = 10,
+    n_bits: int = N_SIGN_BITS,
+    probe_hamming: int = 1,
+    exclude_vec_id: int | None = None,
+) -> DataFrame:
+    """ANN query against the STORED sign-LSH buckets. The probe keys
+    are pure integer bit arithmetic over the query vector — computed
+    driver-side with NO collect at all — so they are literals in the
+    scan filter and the bucket-partitioned table is read with
+    static partition pruning (plus TableIO manifest-level leaf
+    pruning on multi-root tables). Same semantics as the inline
+    :func:`lsh_bucketed_topk` (result-equality pinned in tests and by
+    the shared driver-row oracle)."""
+    qb = 0
+    for i in range(n_bits):
+        if float(qvec[i]) > 0:  # mirrors sign_bucket_col's `> 0`
+            qb |= 1 << i
+    probes = {qb}
+    if probe_hamming >= 1:
+        probes |= {qb ^ (1 << i) for i in range(n_bits)}
+    if probe_hamming >= 2:
+        probes |= {
+            qb ^ ((1 << i) | (1 << j))
+            for i in range(n_bits)
+            for j in range(i + 1, n_bits)
+        }
+    rows = table.read(spark, partitions={"bucket": probes})
+    if exclude_vec_id is not None:
+        rows = rows.where(F.col("vec_id") != exclude_vec_id)
+    qcol = F.array(*[F.lit(float(x)) for x in qvec])
+    return (
+        rows.select(
+            "vec_id",
+            "label",
+            "bucket",
+            F.round(
+                _dot(F.col("embedding"), qcol)
+                / (_norm(F.col("embedding")) * _norm(qcol)),
+                4,
+            ).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(k)
+    )
+
+
 N_IVF_CENTROIDS = 16
 N_IVF_PROBE = 4
 KMEANS_ITERS = 3

@@ -411,6 +411,51 @@ def test_ivf_lists_partition_pruned(spark, tmp_path):
     assert list(gpdf.cosine) == list(ref.cosine)
 
 
+def test_lsh_buckets_partition_pruned(spark, tmp_path):
+    """Stored sign-LSH buckets: the from-buckets query's probe keys are
+    pure driver-side bit arithmetic (no collect), the scan opens ONLY
+    the probed bucket partitions, and the result equals the inline
+    lsh_bucketed_topk."""
+    import numpy as np
+
+    from scraper_spark.operators.similarity import (
+        lsh_bucketed_topk,
+        lsh_build_buckets,
+        lsh_topk_from_buckets,
+    )
+    from scraper_spark.sources.tableio import TableIO
+
+    rng = np.random.default_rng(7)
+    rows = [
+        (i, [float(x) for x in rng.normal(size=16)], i % 3) for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    table = TableIO(str(tmp_path / "lsh_buckets"))
+    lsh_build_buckets(df, table, n_bits=8)
+    qvec = df.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    got = lsh_topk_from_buckets(
+        spark, table, qvec, k=10, n_bits=8, probe_hamming=1, exclude_vec_id=0
+    )
+    # single-root hive table → Catalyst static partition pruning: the
+    # probed buckets (≤ 1 + 8 hamming-1 flips) appear as
+    # PartitionFilters literals in the scan
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        got.explain(True)
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    assert "bucket" in plan.split("PartitionFilters", 1)[1][:400]
+    ref = lsh_bucketed_topk(
+        df, query_vec_id=0, k=10, n_bits=8, probe_hamming=1
+    ).toPandas()
+    gpdf = got.toPandas()
+    assert list(gpdf.vec_id) == list(ref.vec_id)
+    assert list(gpdf.cosine) == list(ref.cosine)
+
+
 def test_lsh_bucket_prunes(spark):
     from scraper_spark.operators.similarity import lsh_bucketed_topk, sign_bucket_col
 
