@@ -214,6 +214,7 @@ class CrawlEngine:
         bloom_probe_mode: str = "auto",
         seen_filter: str = "bloom",
         tiny_schedule_max: int = 1000,
+        dims_broadcast_max: int = 5_000_000,
     ):
         self.spark = spark
         self.fixture_dir = fixture_dir
@@ -358,6 +359,14 @@ class CrawlEngine:
         )
         self.tokens_df = self.t_tokens.read(spark)
         self.robots_df = self.t_robots.read(spark)
+        # broadcast the dims only while they FIT (footer row count — no
+        # job): beyond dims_broadcast_max hosts the hint is dropped and
+        # the schedule joins become ordinary shuffle joins on host
+        # (Catalyst/AQE picks the strategy from real sizes) — the
+        # 10^8-host shape. Output-invariant: test_schedule_dims_shuffle_same_result
+        # pins both paths to identical schedules.
+        dim_rows = max(self.t_tokens.rows(), self.t_robots.rows())
+        self._dims_small = dim_rows <= dims_broadcast_max
         self.parallelism = spark.sparkContext.defaultParallelism
 
         # broadcast-mode driver state: {seg: bit ndarray} (bloom) or
@@ -697,15 +706,16 @@ class CrawlEngine:
         frontier is small (row count from parquet footers, free) — the
         extra phase would be pure latency there."""
         pq = F.regexp_replace("canon_url", r"^[a-z][a-z0-9+.\-]*://[^/]*", "")
+        hint = F.broadcast if self._dims_small else (lambda df: df)
         cand = (
-            frontier.join(F.broadcast(self.robots_df), "host", "left")
+            frontier.join(hint(self.robots_df), "host", "left")
             .where(
                 F.col("prefixes").isNull()
                 | ~F.exists("prefixes", lambda p: pq.startswith(p))
             )
             .drop("prefixes")
         )
-        cand = cand.join(F.broadcast(self.tokens_df), "host", "left").withColumn(
+        cand = cand.join(hint(self.tokens_df), "host", "left").withColumn(
             "tokens", F.coalesce("tokens", F.lit(self.pol.default_tokens))
         )
         order = [F.col("depth"), F.col("discovery_time"), F.col("canon_url")]

@@ -87,6 +87,35 @@ def test_schedule_dim_tables_million_hosts(spark, engine, tmp_path_factory):
     assert len(out) == (0 % 5 + 1) + (1 % 5 + 1) + (2 % 5 + 1)
 
 
+def test_schedule_dims_shuffle_same_result(spark, engine, tmp_path_factory):
+    """dims_broadcast_max=0 drops the broadcast hint from the schedule
+    dim joins — the 10^8-host shape where the dims no longer fit a
+    broadcast. With stats-based broadcasting disabled the plan must
+    show shuffle joins, and the schedule must be IDENTICAL to the
+    broadcast engine's."""
+    import contextlib
+    import io
+
+    work = str(tmp_path_factory.mktemp("dimshuffle_work"))
+    eng = CrawlEngine(spark, engine.fixture_dir, work, dims_broadcast_max=0)
+    assert not eng._dims_small
+    fr = _frontier_df(spark, n_hosts=4, per_host=30)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        sched = eng._schedule(fr, 120)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            sched.explain("formatted")
+        assert "SortMergeJoin" in buf.getvalue()
+        got = sched.toPandas()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    ref = engine._schedule(fr, 120).toPandas()
+    assert sorted(got.canon_url) == sorted(ref.canon_url)
+    assert len(got) > 0
+
+
 def test_salted_two_phase_equals_plain_topk(spark, engine):
     frontier = _frontier_df(spark)
     # frontier_rows=None forces the salted phase-1; small number skips it
