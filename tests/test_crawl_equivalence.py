@@ -285,6 +285,27 @@ def test_cuckoo_join_probe_same_result(spark, fixture_dir, tmp_path_factory, cra
     assert C.probe(seen_urls, segs).all()
 
 
+def test_resume_probe_mode_switch_ok(spark, fixture_dir, tmp_path_factory, crawl_pair):
+    """Broadcast and join probe modes share the filter-table format, so
+    resuming a run under the OTHER mode is legal (the state.json
+    comment's claim, pinned): kill a broadcast-mode crawl mid-run,
+    resume it in join mode, and the final log must be byte-equal to an
+    uninterrupted run."""
+    eng_full, _, totals = crawl_pair
+    work = str(tmp_path_factory.mktemp("crawl_modeswitch"))
+    eng = CrawlEngine(spark, fixture_dir, work, bloom_min_rows=0,
+                      bloom_probe_mode="broadcast")
+    k = max(1, totals["rounds"] // 2)
+    eng.run(max_rounds=k)
+    eng2 = CrawlEngine(spark, fixture_dir, work, bloom_min_rows=0,
+                       bloom_probe_mode="join")
+    eng2.run()
+    pd.testing.assert_frame_equal(
+        _engine_log(eng_full, spark), _engine_log(eng2, spark)
+    )
+    assert eng2._bloom_segments == {}  # join mode held nothing
+
+
 def test_resume_seen_filter_mismatch_fails_fast(spark, fixture_dir, crawl_pair):
     """Resuming a work dir with a different seen_filter than it was
     written with must fail with an actionable error, not a raw
