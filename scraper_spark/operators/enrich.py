@@ -138,12 +138,18 @@ def enrich_paginated(
                 df.unpersist()
     if counts is not None and validate and got is not None:
         actual = got.groupBy(key).agg(F.count("*").alias("_got"))
-        expected = counts.select(
-            key,
-            F.least(
-                F.col("n_results").cast("long"),
-                F.lit(int(max_pages) * int(page_size)).cast("long"),
-            ).alias("_exp"),
+        expected = (
+            counts.select(
+                key,
+                F.least(
+                    F.col("n_results").cast("long"),
+                    F.lit(int(max_pages) * int(page_size)).cast("long"),
+                ).alias("_exp"),
+            )
+            # a superset counts table is a natural input: keys never
+            # requested are never fetched, so restrict the expected
+            # domain to the requests' keys before comparing (ADVICE r04)
+            .join(requests.select(key).distinct(), key, "left_semi")
         )
         drift = (
             actual.join(expected, key, "full")

@@ -135,11 +135,15 @@ def probe_key_cols(bucket: Column, n_bits: int, probe_hamming: int) -> list[Colu
 
 
 def sign_bucket_col(vec: Column, n_bits: int = N_SIGN_BITS) -> Column:
-    """LSH bucket from the sign bits of the first n_bits coordinates."""
+    """LSH bucket from the sign bits of the first n_bits coordinates.
+    try_element_at (not element_at — ANSI mode raises out-of-bounds)
+    reads an absent coordinate as null, and `null > 0` is false → bit 0
+    — the same rule the stored probe's driver-side arithmetic and the
+    DuckDB mirror's 1-indexed null-on-out-of-bounds apply (ADVICE r04)."""
     bucket = F.lit(0)
     for i in range(n_bits):
         bucket = bucket + F.when(
-            F.element_at(vec, i + 1).cast("double") > 0, F.lit(1 << i)
+            F.try_element_at(vec, F.lit(i + 1)).cast("double") > 0, F.lit(1 << i)
         ).otherwise(F.lit(0))
     return bucket.cast("int")
 
@@ -233,7 +237,10 @@ def lsh_topk_from_buckets(
     :func:`lsh_bucketed_topk` (result-equality pinned in tests and by
     the shared driver-row oracle)."""
     qb = 0
-    for i in range(n_bits):
+    # clamp to the vector's length: sign_bucket_col's element_at on an
+    # absent coordinate is null, and `null > 0` is false → bit 0. The
+    # stored path must mirror that, not raise IndexError (ADVICE r04).
+    for i in range(min(n_bits, len(qvec))):
         if float(qvec[i]) > 0:  # mirrors sign_bucket_col's `> 0`
             qb |= 1 << i
     probes = {qb}

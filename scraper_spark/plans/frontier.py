@@ -161,7 +161,12 @@ def _merge_cuckoo_state(pdf: pd.DataFrame) -> pd.DataFrame:
     kind='del' removals, applied in that order) into ONE kind='table'
     row — the join-mode compaction step."""
     segs = cuckoo.segments_from_state_rows(pdf)
-    seg_id, f = next(iter(segs.items()))
+    if segs:
+        seg_id, f = next(iter(segs.items()))
+    else:
+        # del-only group (deletes against a segment never inserted into):
+        # a delete on an empty filter is a no-op → emit an empty table row.
+        seg_id, f = int(pdf["seg"].iloc[0]), cuckoo.CuckooSegment()
     words, stash = f.to_arrays()
     return pd.DataFrame(
         {"seg": [seg_id], "kind": ["table"], "words": [words], "stash": [stash]}

@@ -115,6 +115,27 @@ def test_distributed_delete_rows(spark):
     assert C.probe(gone, segs).mean() < 0.02
 
 
+def test_merge_kernel_del_only_group():
+    """Join-mode compaction on a segment group containing ONLY
+    kind='del' rows (deletes against a segment never inserted into) —
+    a delete on an empty filter is a no-op, so the kernel must emit an
+    empty table row, not crash (ADVICE r04)."""
+    from scraper_spark.plans.frontier import _merge_cuckoo_state
+
+    pdf = pd.DataFrame(
+        {
+            "seg": [3, 3],
+            "kind": ["del", "del"],
+            "words": [[12345, 67890], [111]],
+            "stash": [[], []],
+        }
+    )
+    out = _merge_cuckoo_state(pdf)
+    assert list(out["seg"]) == [3] and list(out["kind"]) == ["table"]
+    segs = C.segments_from_state_rows(out)
+    assert not C.probe(_urls(10), segs).any()  # empty filter: all unseen
+
+
 def test_probe_signature_matches_bloom():
     """Drop-in seam: cuckoo.probe(pd.Series, segments) -> bool ndarray,
     empty-safe, like seen.probe."""

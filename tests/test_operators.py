@@ -256,6 +256,18 @@ def test_enrich_paginated_loop_and_outer(spark):
             validate=True,
         ).count()
 
+    # a SUPERSET counts table (keys never requested) is a natural
+    # input and must NOT trip validation — those keys are never
+    # fetched, so they are outside the expected domain (ADVICE r04)
+    superset = counts.unionByName(
+        spark.createDataFrame([(99, 5)], "key int, n_results long")
+    )
+    out4 = enrich_paginated(
+        requests, fetch_page, "key", ps, max_pages=5, counts=superset,
+        validate=True,
+    ).toPandas()
+    assert len(out4) == len(out2)
+
 
 def test_auto_sign_bits_bounds():
     from scraper_spark.operators.similarity import auto_sign_bits
@@ -454,6 +466,38 @@ def test_lsh_buckets_partition_pruned(spark, tmp_path):
     gpdf = got.toPandas()
     assert list(gpdf.vec_id) == list(ref.vec_id)
     assert list(gpdf.cosine) == list(ref.cosine)
+
+
+def test_lsh_stored_probe_short_qvec_matches_inline(spark, tmp_path):
+    """Embedding dim < n_bits: sign_bucket_col reads element_at nulls
+    as bit 0 (`null > 0` is false); the stored probe's driver-side bit
+    arithmetic must mirror that instead of raising IndexError
+    (ADVICE r04)."""
+    import numpy as np
+
+    from scraper_spark.operators.similarity import (
+        lsh_bucketed_topk,
+        lsh_build_buckets,
+        lsh_topk_from_buckets,
+    )
+    from scraper_spark.sources.tableio import TableIO
+
+    rng = np.random.default_rng(11)
+    rows = [
+        (i, [float(x) for x in rng.normal(size=4)], i % 2) for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    table = TableIO(str(tmp_path / "lsh_short"))
+    lsh_build_buckets(df, table, n_bits=8)  # dim 4 < 8 bits
+    qvec = rows[0][1]
+    got = lsh_topk_from_buckets(
+        spark, table, qvec, k=5, n_bits=8, probe_hamming=1, exclude_vec_id=0
+    ).toPandas()
+    ref = lsh_bucketed_topk(
+        df, query_vec_id=0, k=5, n_bits=8, probe_hamming=1
+    ).toPandas()
+    assert list(got.vec_id) == list(ref.vec_id)
+    assert list(got.cosine) == list(ref.cosine)
 
 
 def test_lsh_bucket_prunes(spark):

@@ -2,8 +2,10 @@
 
 Produces an sfN-shaped directory by replicating every FACT table of a
 source sf dir ``factor`` times with key-offset copies (copy i offsets
-each key/FK column by ``i * (orig_max + 1)``, so intra-copy join
-cardinalities are preserved and cross-copy keys never collide).
+each key/FK column by ``i * (family_max + 1)``, where the base is
+shared per KEY FAMILY — e.g. custkey in both customer and orders — so
+intra-copy join cardinalities are preserved and cross-copy keys never
+collide even when max(child FK) != max(parent PK)).
 Dimension tables (region, nation) keep their original size — scaling a
 5-row dim would change query semantics, not stress.
 
@@ -31,28 +33,53 @@ import pyarrow.parquet as pq
 
 DIMS = {"region.parquet", "nation.parquet"}
 
-# key/FK columns to offset per copy (column absent → ignored)
+# key/FK columns to offset per copy, tagged with their KEY FAMILY: the
+# per-copy offset base is shared across a family (max over every column
+# in the family, +1), so copy i's FK values align with copy i's PK
+# values even when max(child FK) != max(parent PK) — e.g. not every
+# customer has orders (ADVICE r04).
 OFFSET_COLS = {
-    "customer.parquet": ["c_custkey"],
-    "supplier.parquet": ["s_suppkey"],
-    "part.parquet": ["p_partkey"],
-    "orders.parquet": ["o_orderkey", "o_custkey"],
-    "lineitem.parquet": ["l_orderkey", "l_partkey", "l_suppkey"],
-    "events.parquet": ["event_id", "user_id"],
-    "documents.parquet": ["doc_id"],
-    "embeddings.parquet": ["vec_id"],
+    "customer.parquet": [("c_custkey", "custkey")],
+    "supplier.parquet": [("s_suppkey", "suppkey")],
+    "part.parquet": [("p_partkey", "partkey")],
+    "orders.parquet": [("o_orderkey", "orderkey"), ("o_custkey", "custkey")],
+    "lineitem.parquet": [
+        ("l_orderkey", "orderkey"),
+        ("l_partkey", "partkey"),
+        ("l_suppkey", "suppkey"),
+    ],
+    "events.parquet": [("event_id", "event_id"), ("user_id", "user_id")],
+    "documents.parquet": [("doc_id", "doc_id")],
+    "embeddings.parquet": [("vec_id", "vec_id")],
 }
 
 
-def scale_table(src: str, dst: str, fname: str, factor: int) -> int:
+def family_bases(src: str) -> dict[str, int]:
+    """One offset base per key family: max over every column in the
+    family across all tables, +1."""
+    maxima: dict[str, int] = {}
+    for fname, cols in OFFSET_COLS.items():
+        path = os.path.join(src, fname)
+        if not os.path.exists(path):
+            continue
+        t = pq.read_table(path, columns=None)
+        for col, fam in cols:
+            if col in t.column_names:
+                m = int(pc.max(t.column(col)).as_py())
+                maxima[fam] = max(maxima.get(fam, -1), m)
+    return {fam: m + 1 for fam, m in maxima.items()}
+
+
+def scale_table(
+    src: str, dst: str, fname: str, factor: int, fam_bases: dict[str, int]
+) -> int:
     t = pq.read_table(os.path.join(src, fname))
     if fname in DIMS:
         pq.write_table(t, os.path.join(dst, fname))
         return t.num_rows
-    offs = [c for c in OFFSET_COLS.get(fname, []) if c in t.column_names]
-    bases = {
-        c: int(pc.max(t.column(c)).as_py()) + 1 for c in offs
-    }
+    fam_of = {c: fam for c, fam in OFFSET_COLS.get(fname, [])}
+    offs = [c for c in fam_of if c in t.column_names]
+    bases = {c: fam_bases[fam_of[c]] for c in offs}
     copies = []
     for i in range(factor):
         c = t
@@ -84,10 +111,11 @@ def main() -> int:
     dst = sys.argv[2] if len(sys.argv) > 2 else os.path.join(repo, "dist", "sf1")
     factor = int(sys.argv[3]) if len(sys.argv) > 3 else 10
     os.makedirs(dst, exist_ok=True)
+    bases = family_bases(src)
     for fname in sorted(os.listdir(src)):
         if not fname.endswith(".parquet"):
             continue
-        n = scale_table(src, dst, fname, factor)
+        n = scale_table(src, dst, fname, factor, bases)
         print(f"{fname}: {n} rows", flush=True)
     return 0
 
