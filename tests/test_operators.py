@@ -468,6 +468,89 @@ def test_lsh_buckets_partition_pruned(spark, tmp_path):
     assert list(gpdf.cosine) == list(ref.cosine)
 
 
+def test_lsh_topk_table_matches_point_probes(spark, tmp_path):
+    """Batched query-TABLE probe against the stored sign-LSH index:
+    per-qid results identical to N calls of the point API, and the
+    index scan is pruned to the touched buckets (VERDICT r04 #1)."""
+    import contextlib
+    import io
+
+    import numpy as np
+
+    from scraper_spark.operators.similarity import (
+        lsh_build_buckets,
+        lsh_topk_from_buckets,
+        lsh_topk_table,
+    )
+    from scraper_spark.sources.tableio import TableIO
+
+    rng = np.random.default_rng(3)
+    rows = [
+        (i, [float(x) for x in rng.normal(size=16)], i % 3) for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    table = TableIO(str(tmp_path / "lsh_batch"))
+    lsh_build_buckets(df, table, n_bits=8)
+    qids = [0, 7, 42]
+    queries = df.where(F.col("vec_id").isin(qids))
+    got = lsh_topk_table(
+        spark, table, queries, k=5, n_bits=8, probe_hamming=1
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        got.explain(True)
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    assert "bucket" in plan.split("PartitionFilters", 1)[1][:400]
+    gpdf = got.toPandas()
+    for qid in qids:
+        qvec = rows[qid][1]
+        ref = lsh_topk_from_buckets(
+            spark, table, qvec, k=5, n_bits=8, probe_hamming=1,
+            exclude_vec_id=qid,
+        ).toPandas()
+        mine = gpdf[gpdf.qid == qid]
+        assert list(mine.vec_id) == list(ref.vec_id), f"qid {qid}"
+        assert list(mine.cosine) == list(ref.cosine), f"qid {qid}"
+
+
+def test_ivf_topk_table_matches_point_probes(spark, tmp_path):
+    """Batched query-TABLE probe against the stored IVF lists: per-qid
+    results identical to N point calls — in particular the in-Spark
+    per-qid centroid ranking must agree with the point API's
+    driver-side _seq_cosine ranking (bit-mirrored fold)."""
+    import numpy as np
+
+    from scraper_spark.operators.similarity import (
+        ivf_build_lists,
+        ivf_topk_from_lists,
+        ivf_topk_table,
+    )
+    from scraper_spark.sources.tableio import TableIO
+
+    rng = np.random.default_rng(5)
+    rows = [
+        (i, [float(x) for x in rng.normal(size=16)], i % 3) for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    table = TableIO(str(tmp_path / "ivf_batch"))
+    ivf_build_lists(df, table, k_centroids=8)
+    qids = [0, 13, 99]
+    queries = df.where(F.col("vec_id").isin(qids))
+    gpdf = ivf_topk_table(
+        spark, table, queries, k=5, k_centroids=8, nprobe=2
+    ).toPandas()
+    for qid in qids:
+        qvec = rows[qid][1]
+        ref = ivf_topk_from_lists(
+            spark, table, qvec, k=5, k_centroids=8, nprobe=2,
+            exclude_vec_id=qid,
+        ).toPandas()
+        mine = gpdf[gpdf.qid == qid]
+        assert list(mine.vec_id) == list(ref.vec_id), f"qid {qid}"
+        assert list(mine.cosine) == list(ref.cosine), f"qid {qid}"
+
+
 def test_lsh_stored_probe_short_qvec_matches_inline(spark, tmp_path):
     """Embedding dim < n_bits: sign_bucket_col reads element_at nulls
     as bit 0 (`null > 0` is false); the stored probe's driver-side bit
