@@ -302,6 +302,19 @@ class CrawlEngine:
             )
         self.bloom_probe_mode = bloom_probe_mode
         self.pol = PolitenessConfig.load(os.path.join(fixture_dir, "politeness.json"))
+        # re-crawl TTL in rounds (None = off), from politeness.json —
+        # semantics in spec.py; seen derivation filters the log to the
+        # window, and the cuckoo filter mirrors expiry with kind='del'
+        # rows (the distributed deletion path's consumer)
+        self.ttl = self.pol.recrawl_after_rounds
+        # round at which the seen filter activated (persisted in
+        # state.json): cuckoo TTL deletes are only valid for terminal
+        # rounds whose inserts the filter actually received — the
+        # activation build covers the window (act-ttl, act], so deletes
+        # are issued only for rnd > activation round (deleting a
+        # never-inserted url could evict a colliding fingerprint and
+        # break the no-false-negative guarantee)
+        self._filter_round: int | None = None
         self.store_path = os.path.join(fixture_dir, "page_store.parquet")
         self.images_path = os.path.join(fixture_dir, "image_captions.parquet")
         # bucket modulus comes from the corpus itself — a constant
@@ -506,6 +519,7 @@ class CrawlEngine:
             # across resumes
             "seen_filter": self.seen_filter,
             "bloom_probe_mode": self.bloom_probe_mode,
+            "filter_round": self._filter_round,
             "snapshots": {
                 name: t.current_snapshot_id() for name, t in self._tables.items()
             },
@@ -669,6 +683,12 @@ class CrawlEngine:
         if self.use_bloom and self.bloom_probe_mode == "broadcast":
             self._load_bloom()
         self._refresh_bloom_bc()
+        self._filter_round = state.get("filter_round")
+        if self._filter_round is None and self._bloom_active():
+            # pre-TTL state file with a live filter: pin activation to
+            # the resume round — conservative (skips deletes for rows
+            # inserted before, which only leaves filter slack)
+            self._filter_round = state["round"]
         return state["round"], state["seq"]
 
     def _refresh_bloom_bc(self) -> None:
@@ -677,13 +697,23 @@ class CrawlEngine:
         self._bloom_bc = self.spark.sparkContext.broadcast(self._bloom_segments)
 
     # ------------------------------------------------------------ stages
-    def seen_df(self, buckets: set[int] | None = None) -> DataFrame:
+    def seen_df(
+        self, buckets: set[int] | None = None, rnd: int | None = None
+    ) -> DataFrame:
         """The exact URL-seen set, DERIVED from the crawl log + error
         table instead of materialized separately: seen = terminally
         fetched (log status != 503) ∪ retry-exhausted (fetch_errors).
         Parquet column pruning makes the derived read as cheap as a
         dedicated table and saves one table write per round; at real
         scale the same projection is an Iceberg metadata-pruned scan.
+
+        With the re-crawl TTL on (``recrawl_after_rounds``) and ``rnd``
+        given, terminal log rows count only while round > rnd - ttl
+        (spec.py): a pure FILTER, no groupBy — any row in the window
+        makes the url seen, and a url whose newest row fell out has
+        only out-of-window rows. fetch_errors stay permanent (errors
+        don't re-crawl). ``rnd=None`` (tests, resume audits) returns
+        the historical seen set.
 
         ``buckets`` restricts the read to those url_bucket partitions —
         manifest-level file pruning inside TableIO.read (only touched
@@ -695,7 +725,13 @@ class CrawlEngine:
         prune = buckets is not None and len(buckets) < N_URL_BUCKETS
         part = {"url_bucket": set(buckets)} if prune else None
         log = self.t_log.read(self.spark, schema=LOG_SCHEMA, partitions=part)
-        seen = log.where(F.col("status") != STATUS_TRANSIENT).select("canon_url")
+        live = F.col("status") != STATUS_TRANSIENT
+        if self.ttl is not None and rnd is not None:
+            # parquet round min/max stats prune whole files (each
+            # append holds one round's rows); the Iceberg analog is a
+            # round-partitioned metadata prune
+            live = live & (F.col("round") > rnd - self.ttl)
+        seen = log.where(live).select("canon_url")
         if self.t_errors.current_snapshot_id():
             err = self.t_errors.read(self.spark, partitions=part)
             seen = seen.unionByName(err.select("canon_url"))
@@ -841,6 +877,7 @@ class CrawlEngine:
         seen_base: DataFrame,
         terminal: DataFrame,
         prune: bool = False,
+        rnd: int | None = None,
     ) -> DataFrame:
         """links − seen (Bloom prefilter on the big anti-join;
         exactness always from the left_anti). Links to urls already
@@ -913,7 +950,9 @@ class CrawlEngine:
             }
             # terminal stays unrestricted: its rows are genuinely seen
             # and it is O(round) — only the big log-derived scan prunes
-            seen_join = self.seen_df(buckets=touched).unionByName(terminal)
+            seen_join = self.seen_df(buckets=touched, rnd=rnd).unionByName(
+                terminal
+            )
         else:
             seen_join = seen_base.unionByName(terminal)
         return definite.unionByName(
@@ -964,9 +1003,19 @@ class CrawlEngine:
         """Run (or resume) the crawl to frontier exhaustion. Returns
         summary counters."""
         start_round, seq = self._resume()
-        totals = {"rounds": 0, "fetched": 0, "log_rows": seq}
+        totals = {
+            "rounds": 0,
+            "fetched": 0,
+            "log_rows": seq,
+            # rnd of the last loop iteration entered — the round whose
+            # TTL expiry the final seen reflects (mirror of the
+            # oracle's CrawlResult.final_round); compare seen via
+            # seen_df(rnd=final_round)
+            "final_round": start_round,
+        }
         rnd = start_round
         while rnd < start_round + max_rounds:
+            totals["final_round"] = rnd
             t0 = time.monotonic()
             phases: dict[str, float] = {}
             _pt = [t0]
@@ -1010,8 +1059,35 @@ class CrawlEngine:
             fetched = fetch(scheduled, self.store_path).persist()
             self._round_persists.append(fetched)
             # seen set as of the round start (dirs resolved NOW, before
-            # any concurrent append commits)
-            seen_base = self.seen_df()
+            # any concurrent append commits); rnd applies the re-crawl
+            # TTL window when the policy is on
+            seen_base = self.seen_df(rnd=rnd)
+            # cuckoo TTL expiry: urls whose terminal fetch was at round
+            # rnd - ttl fall out of the seen window THIS round — mirror
+            # that in the prefilter with one delete per expiring LOG ROW
+            # (per-row deletes balance the per-row inserts: cuckoo
+            # delete is multiset, so a refetched url keeps its newer
+            # copy). Only valid once the filter has actually received
+            # those inserts (activation covers (act-ttl, act] — see
+            # _filter_round).
+            ttl_del_due = (
+                self.ttl is not None
+                and self.use_bloom
+                and self.seen_filter == "cuckoo"
+                and self._filter_round is not None
+                and rnd > self._filter_round
+                and rnd - self.ttl >= 0
+            )
+            expiring = None
+            if ttl_del_due:
+                expiring = (
+                    self.t_log.read(self.spark, schema=LOG_SCHEMA)
+                    .where(
+                        (F.col("status") != STATUS_TRANSIENT)
+                        & (F.col("round") == rnd - self.ttl)
+                    )
+                    .select("canon_url")
+                )
             is_transient = F.col("status") == STATUS_TRANSIENT
             exhausted = F.col("attempt") + 1 >= self.pol.max_attempts
             terminal = fetched.where(~is_transient | exhausted).select("canon_url")
@@ -1072,15 +1148,32 @@ class CrawlEngine:
                 fused = stats_agg.unionByName(bloom_agg)
             else:
                 fused = stats_agg
+            if ttl_del_due and self.bloom_probe_mode == "broadcast":
+                # expiry hashes ride the same single per-round collect
+                del_agg = cuckoo.hash_segments(expiring).select(
+                    F.lit("del").alias("kind"),
+                    F.lit(None).cast("int").alias("host_bucket"),
+                    F.lit(None).cast("int").alias("status"),
+                    F.lit(None).cast("boolean").alias("exh"),
+                    F.lit(None).cast("long").alias("n"),
+                    F.lit(None).cast("array<int>").alias("pb"),
+                    "seg",
+                    "bits",
+                )
+                fused = fused.unionByName(del_agg)
             fused_rows = fused.collect()
             counts: dict[int, int] = {}
             bucket_counts: dict[int, int] = {}
             pbuckets: set[int] = set()
             n_exhausted = 0
             bloom_rows = []
+            del_rows = []
             for r in fused_rows:
                 if r["kind"] == "bloom":
                     bloom_rows.append((r["seg"], r["bits"]))
+                    continue
+                if r["kind"] == "del":
+                    del_rows.append((r["seg"], r["bits"]))
                     continue
                 counts[r["status"]] = counts.get(r["status"], 0) + r["n"]
                 bucket_counts[r["host_bucket"]] = (
@@ -1124,16 +1217,52 @@ class CrawlEngine:
                         int(s): np.asarray(b, dtype=np.int64)
                         for s, b in zip(pdf["seg"], pdf["bits"])
                     }
-                if delta_c:
+                    if self._filter_round is None:
+                        self._filter_round = rnd
+                del_c = {
+                    int(seg): np.asarray(bits, dtype=np.int64)
+                    for seg, bits in del_rows
+                }
+                if delta_c or del_c:
                     for seg, hashes in delta_c.items():
                         f = self._bloom_segments.setdefault(
                             seg, cuckoo.CuckooSegment()
                         )
                         f.insert_hashes(hashes)
+                    # TTL expiry: one delete per expiring log row — this
+                    # round's inserts are round rnd, the dels round
+                    # rnd - ttl, so order between them is immaterial
+                    for seg, hashes in del_c.items():
+                        f = self._bloom_segments.get(seg)
+                        if f is not None:
+                            f.delete_hashes(hashes)
                     self._refresh_bloom_bc()
 
-                    def bloom_delta_job(d=delta_c):
+                    def bloom_delta_job(d=delta_c, dd=del_c):
+                        # durable kind='del' rows FIRST: broadcast-mode
+                        # compaction overwrites from the driver state
+                        # (dels already applied), so no del row may
+                        # remain in the table after a compaction that
+                        # covered it — dels-then-deltas means any
+                        # compaction (which only _append_bloom_delta
+                        # triggers) sweeps the del rows away with it
+                        if dd:
+                            pdf = pd.DataFrame(
+                                {
+                                    "seg": list(dd.keys()),
+                                    "kind": "del",
+                                    "words": [v.tolist() for v in dd.values()],
+                                    "stash": [[] for _ in dd],
+                                }
+                            )
+                            self.t_bloom.append(
+                                self.spark.createDataFrame(
+                                    pdf, self.CUCKOO_SCHEMA
+                                )
+                            )
                         self._append_bloom_delta(d)
+                        if dd and not d:
+                            self._maybe_compact_bloom()
 
             elif self.use_bloom and self.bloom_probe_mode == "broadcast":
                 delta: dict[int, np.ndarray] = {}
@@ -1152,6 +1281,8 @@ class CrawlEngine:
                             ).toPandas()
                         ]
                     )
+                    if self._filter_round is None:
+                        self._filter_round = rnd
                 if delta:
                     for seg, bits in delta.items():
                         if seg in self._bloom_segments:
@@ -1175,6 +1306,8 @@ class CrawlEngine:
                     src_df = terminal
                 elif seq_new >= self.bloom_min_rows:
                     src_df = seen_base.unionByName(terminal)
+                    if self._filter_round is None:
+                        self._filter_round = rnd
                 if src_df is not None:
                     if self.seen_filter == "cuckoo":
                         delta_df = cuckoo.hash_segments(src_df).select(
@@ -1183,6 +1316,17 @@ class CrawlEngine:
                             F.col("bits").alias("words"),
                             F.array().cast("array<long>").alias("stash"),
                         )
+                        if ttl_del_due:
+                            # TTL expiry rows ride the same append; the
+                            # join probe resolves table dirs at round
+                            # START, so the dels take effect from the
+                            # next round's probe — lag is safe (the
+                            # filter stays a superset of the window-
+                            # filtered seen, and the exact anti-join
+                            # already excludes expired urls this round)
+                            delta_df = delta_df.unionByName(
+                                cuckoo.delete_segments(expiring)
+                            )
                     else:
                         delta_df = bloom.build_segments(src_df)
 
@@ -1253,6 +1397,7 @@ class CrawlEngine:
                 # seq counts exactly the logged urls — a free, exact
                 # seen-size signal (no footer walk)
                 prune=seq >= self.seen_prune_min_rows,
+                rnd=rnd,
             )
             fresh = (
                 fresh.withColumn("host", host_udf("canon_url"))

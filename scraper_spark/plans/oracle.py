@@ -45,6 +45,10 @@ class CrawlResult:
     errors: list[str] = field(default_factory=list)
     images: pd.DataFrame | None = None  # image_id, canon_url, caption
     rounds: int = 0
+    # rnd of the last loop iteration entered (break round, or
+    # max_rounds-1 on bound exit) — the round whose TTL expiry the
+    # final ``seen`` reflects; engines compare via seen_df(rnd=this)
+    final_round: int = 0
 
 
 def crawl(
@@ -74,8 +78,21 @@ def crawl(
     log_rows: list[tuple] = []
     image_rows: list[tuple] = []
     seq = 0
+    ttl = pol.recrawl_after_rounds
+    terminal_round: dict[str, int] = {}  # url -> round of last 200/404
+    final_round = 0
 
     for rnd in range(max_rounds):
+        final_round = rnd
+        # -- re-crawl TTL (spec.py): a terminal fetch at round r is
+        # seen only while r > rnd - ttl; at r + ttl it expires and a
+        # rediscovering link re-enqueues it like a fresh URL.
+        # Retry-exhausted URLs never expire (not in terminal_round).
+        if ttl is not None:
+            for u in [u for u, r in terminal_round.items() if r + ttl <= rnd]:
+                seen.discard(u)
+                del terminal_round[u]
+
         # -- robots filter + per-host budgeted top-k: THE shared kernel
         # (spec.schedule_round — also the engine's tiny-frontier path)
         scheduled: list[FrontierEntry] = schedule_round(
@@ -108,6 +125,8 @@ def crawl(
                 continue  # stays in frontier for retry
             # terminal fetch (200 or 404)
             seen.add(e.canon_url)
+            if ttl is not None:
+                terminal_round[e.canon_url] = rnd
             del frontier[e.canon_url]
             if status == STATUS_OK and row is not None:
                 if row.image_id is not None and not (
@@ -137,4 +156,5 @@ def crawl(
         image_rows, columns=["image_id", "canon_url", "caption"]
     )
     return CrawlResult(log=log, seen=seen, errors=errors, images=images,
-                       rounds=int(log["round"].max()) + 1 if len(log) else 0)
+                       rounds=int(log["round"].max()) + 1 if len(log) else 0,
+                       final_round=final_round)

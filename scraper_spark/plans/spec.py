@@ -21,6 +21,17 @@ Semantics distilled from the reference loop (SURVEY §2.11):
   first enqueue (reference analog: first-seen dedup at the sink,
   handlers/db.py:38-54). Conflicts inside one round resolve to
   MIN(depth) — an order-free rule a distributed engine can reproduce.
+- Re-crawl TTL (``recrawl_after_rounds`` = N, default off): a terminal
+  fetch at round r counts as SEEN only for rounds rnd with r > rnd - N
+  — at round r + N it expires, and a link rediscovering the URL
+  re-enqueues it like a fresh discovery (depth = link depth + 1,
+  discovery_time = rnd + 1, attempt reset). Retry-exhausted URLs
+  (fetch_errors) never expire — errors don't re-crawl. Reference
+  analog: the delete-today's-rows-and-redo full refresh
+  (jobs/job_invoice.py:37-41). The rule is a pure function of the
+  crawl log, so the engine derives it by filtering the log to the
+  window (no stored seen-set surgery) and, with the cuckoo seen
+  filter, mirrors it in the prefilter via kind='del' rows.
 """
 
 from __future__ import annotations
@@ -104,6 +115,9 @@ class PolitenessConfig:
             h: list(v) for h, v in raw.get("robots_disallow", {}).items()
         }
         self.max_attempts: int = raw.get("max_attempts", 3)
+        # re-crawl TTL in rounds (None = off): a terminal fetch at
+        # round r is seen only while r > rnd - N (module docstring)
+        self.recrawl_after_rounds: int | None = raw.get("recrawl_after_rounds")
 
     def tokens(self, host: str) -> int:
         return self.host_tokens.get(host, self.default_tokens)

@@ -212,6 +212,7 @@ def generate(
     pagination_fanout: int = 3,
     page_size: int = LIST_PAGE_SIZE,
     img_size: tuple[int, int] = (32, 128),
+    recrawl_after_rounds: int | None = None,
 ) -> dict:
     """Materialize page_store / image_captions / seeds parquet + politeness
     JSON under ``out_dir``. Returns summary counts."""
@@ -339,6 +340,8 @@ def generate(
         "robots_disallow": {hosts[0]: ["/d/1"], hosts[1]: ["/d/2"]},
         "max_attempts": max_attempts,
     }
+    if recrawl_after_rounds is not None:
+        politeness["recrawl_after_rounds"] = int(recrawl_after_rounds)
 
     pages_df = pd.DataFrame(pages)
     images_df = pd.DataFrame(images)

@@ -318,6 +318,75 @@ def test_resume_seen_filter_mismatch_fails_fast(spark, fixture_dir, crawl_pair):
         eng.run(max_rounds=1)
 
 
+@pytest.fixture(scope="module")
+def ttl_fixture_dir(tmp_path_factory):
+    """Small corpus with the re-crawl TTL ON (recrawl_after_rounds=3):
+    terminal fetches expire after 3 rounds, so cross-links on pages
+    fetched later genuinely re-enqueue them mid-crawl."""
+    from scraper_spark.sources.fixtures import generate
+
+    d = str(tmp_path_factory.mktemp("ttl_fixture"))
+    generate(d, n_hosts=6, n_urls=110, default_tokens=4, hot_tokens=2,
+             image_rate=0.15, recrawl_after_rounds=3)
+    return d
+
+
+@pytest.fixture(scope="module")
+def ttl_oracle(ttl_fixture_dir):
+    return oracle_crawl(ttl_fixture_dir, max_rounds=14)
+
+
+@pytest.mark.parametrize(
+    "cfg",
+    [
+        dict(seen_filter="cuckoo", bloom_probe_mode="broadcast"),
+        dict(seen_filter="cuckoo", bloom_probe_mode="join"),
+        dict(seen_filter="bloom"),
+    ],
+    ids=["cuckoo-broadcast", "cuckoo-join", "bloom"],
+)
+def test_recrawl_ttl_equivalence(
+    spark, ttl_fixture_dir, tmp_path_factory, ttl_oracle, cfg
+):
+    """Re-crawl TTL (spec.py): engine ≡ oracle with expiry on, in both
+    cuckoo probe modes (the distributed kind='del' deletion path doing
+    what it exists for) and with the non-deletable Bloom filter (which
+    must stay a harmless superset). Exact log + window-filtered seen +
+    the policy provably ENGAGED (some url terminally fetched twice)."""
+    ora = ttl_oracle
+    work = str(tmp_path_factory.mktemp("crawl_ttl"))
+    eng = CrawlEngine(spark, ttl_fixture_dir, work, bloom_min_rows=0,
+                      decode_images=False, **cfg)
+    totals = eng.run(max_rounds=14)
+    elog = _engine_log(eng, spark)
+    olog = ora.log.astype(elog.dtypes.to_dict())
+    pd.testing.assert_frame_equal(elog, olog)
+    # the TTL actually fired: at least one url has >= 2 terminal rows
+    term = elog[elog.status != 503]
+    refetched = term.groupby("canon_url").size()
+    assert (refetched >= 2).any(), "fixture produced no re-crawls"
+    # final seen under the TTL window at the exit round
+    assert totals["final_round"] == ora.final_round
+    eseen = set(
+        eng.seen_df(rnd=totals["final_round"]).toPandas()["canon_url"]
+    )
+    assert eseen == ora.seen
+    if cfg["seen_filter"] == "cuckoo" and cfg.get("bloom_probe_mode") == "broadcast":
+        # the deletes really removed expired urls from the driver-held
+        # filter: urls whose last terminal fetch fell out of the window
+        # and were never refetched must mostly probe definitely-unseen
+        # (individual FPs are possible, all-True would mean no deletes)
+        from scraper_spark.plans import cuckoo as C
+
+        last_term = term.groupby("canon_url")["round"].max()
+        expired = last_term[last_term + 3 <= totals["final_round"]]
+        if len(expired):
+            hits = C.probe(
+                pd.Series(expired.index), eng._bloom_segments
+            )
+            assert not hits.all(), "expired urls never left the filter"
+
+
 def test_retry_exhaustion_path(spark, tmp_path_factory):
     """max_attempts=1 makes every 503 exhaust immediately, so the
     fetch_errors table and the errors-union-seen derivation are
