@@ -56,8 +56,19 @@ def host_bucket(host: str) -> int:
     return bucket(host, N_HOST_BUCKETS)
 
 
-def robots_blocked(path_and_query: str, prefixes: list[str]) -> bool:
-    return any(path_and_query.startswith(p) for p in prefixes)
+def robots_blocked(path_and_query: str, rules: list[tuple[str, bool]]) -> bool:
+    """REP rule evaluation (RFC 9309 §2.2.2) over prefix rules
+    ``(path, allow)``: the LONGEST matching rule decides; Allow wins a
+    length tie; no match = allowed. A disallow-only rule list degrades
+    to the plain any-prefix block. Mirrored column-side in
+    frontier._schedule — keep the two in lockstep."""
+    best_len, best_allow = -1, True
+    for p, allow in rules:
+        if path_and_query.startswith(p):
+            n = len(p)
+            if n > best_len or (n == best_len and allow):
+                best_len, best_allow = n, allow
+    return best_len >= 0 and not best_allow
 
 
 def path_query(canon_url: str) -> str:
@@ -81,7 +92,7 @@ def schedule_round(entries: list, pol: "PolitenessConfig") -> list:
     by_host: dict[str, list] = {}
     for e in entries:
         if robots_blocked(
-            path_query(e.canon_url), pol.robots_disallow.get(e.host, [])
+            path_query(e.canon_url), pol.robots_rules.get(e.host, [])
         ):
             continue
         by_host.setdefault(e.host, []).append(e)
@@ -114,6 +125,27 @@ class PolitenessConfig:
         self.robots_disallow: dict[str, list[str]] = {
             h: list(v) for h, v in raw.get("robots_disallow", {}).items()
         }
+        # effective per-host REP rules [(path, allow)]: the legacy
+        # disallow-prefix config plus, when ``robots_txt`` carries real
+        # robots.txt bodies per host, the parsed group for
+        # ``user_agent`` (functions/robots.py). A host's crawl-delay
+        # maps onto the round-token budget — tokens =
+        # max(1, round_seconds // delay) — unless ``hosts`` overrides
+        # it explicitly.
+        self.user_agent: str = raw.get("user_agent", "*")
+        self.round_seconds: float = float(raw.get("round_seconds", 10))
+        self.robots_rules: dict[str, list[tuple[str, bool]]] = {
+            h: [(p, False) for p in ps] for h, ps in self.robots_disallow.items()
+        }
+        for host, txt in raw.get("robots_txt", {}).items():
+            from scraper_spark.functions.robots import parse_robots
+
+            parsed = parse_robots(txt, self.user_agent)
+            self.robots_rules.setdefault(host, []).extend(parsed.rules)
+            if parsed.crawl_delay and host not in self.host_tokens:
+                self.host_tokens[host] = max(
+                    1, int(self.round_seconds // parsed.crawl_delay)
+                )
         self.max_attempts: int = raw.get("max_attempts", 3)
         # re-crawl TTL in rounds (None = off): a terminal fetch at
         # round r is seen only while r > rnd - N (module docstring)

@@ -119,17 +119,36 @@ class TableIO:
             return None
         return keys.pop() if len(keys) == 1 else None
 
-    def _dirs_as_of(self, as_of: int | None) -> list[str]:
+    def _entries_as_of(self, as_of: int | None) -> list[dict]:
+        """Snapshot entries whose data is live at ``as_of``: honor
+        overwrite resets, and skip entries replaced by an op='compact'
+        entry that is itself within ``as_of`` (two-phase compaction —
+        a compact snapshot newer than ``as_of`` does not hide its
+        constituents, which is what makes rollback across a compaction
+        boundary lossless)."""
         m = self._load()
         sid = m["current"] if as_of is None else as_of
-        dirs: list[str] = []
+        replaced: set[int] = set()
+        for s in m["snapshots"]:
+            if s["id"] > (sid or 0):
+                break
+            if s["op"] == "compact":
+                replaced.update(s.get("replaces", []))
+        out: list[dict] = []
         for s in m["snapshots"]:
             if s["id"] > (sid or 0):
                 break
             if s["op"] == "overwrite":
-                dirs = []
-            dirs.append(os.path.join(self.root, s["dir"]))
-        return dirs
+                out = []
+            if s["id"] in replaced:
+                continue
+            out.append(s)
+        return out
+
+    def _dirs_as_of(self, as_of: int | None) -> list[str]:
+        return [
+            os.path.join(self.root, s["dir"]) for s in self._entries_as_of(as_of)
+        ]
 
     def read(
         self,
@@ -230,18 +249,23 @@ class TableIO:
             out = out.unionByName(spark.read.parquet(d))
         return out
 
-    def rows(self, as_of: int | None = None) -> int:
-        """Row count from parquet footers — no Spark job (the Iceberg
-        analog reads manifest stats)."""
+    @staticmethod
+    def rows_in_dirs(dirs: list[str]) -> int:
+        """Footer row count over specific snapshot dirs — no Spark job."""
         import pyarrow.parquet as pq
 
         total = 0
-        for d in self._dirs_as_of(as_of):
+        for d in dirs:
             for dirpath, _, files in os.walk(d):
                 for f in files:
                     if f.endswith(".parquet"):
                         total += pq.ParquetFile(os.path.join(dirpath, f)).metadata.num_rows
         return total
+
+    def rows(self, as_of: int | None = None) -> int:
+        """Row count from parquet footers — no Spark job (the Iceberg
+        analog reads manifest stats)."""
+        return self.rows_in_dirs(self._dirs_as_of(as_of))
 
     # -- row-level DML (SURVEY §2.1 K4/K5, §2.11 T7) ----------------------
     # Iceberg/Delta express these as row-level deletes + snapshot commit;
@@ -270,6 +294,104 @@ class TableIO:
         cur = self.read(spark, schema=incoming.schema)
         kept = cur.join(incoming.select(key), key, "left_anti")
         return self.overwrite(kept.unionByName(incoming))
+
+    # -- physical compaction (Iceberg rewrite_data_files analog) ----------
+    def pending_appends(self, upto_id: int | None = None) -> list[dict]:
+        """Live delta entries after the last overwrite (appends + any
+        earlier compact pile, which re-compacts with the new appends —
+        a 2-level LSM: base overwrite + one merged pile), with id ≤
+        ``upto_id`` — the candidates for the next
+        :meth:`compact_appends`. Manifest-only, no Spark job."""
+        return [
+            s
+            for s in self._entries_as_of(upto_id)
+            if s["op"] in ("append", "compact")
+        ]
+
+    def compact_appends(
+        self,
+        spark: SparkSession,
+        upto_id: int | None = None,
+        partition_by: list[str] | None = None,
+    ) -> int | None:
+        """Merge the pending append snapshots (id ≤ ``upto_id``) into
+        ONE op='compact' snapshot that REPLACES them — bounding the
+        physical file/root count of an append-only table (one hive root
+        per bulk round otherwise accretes forever; ADVICE r03 / VERDICT
+        r04 #2) without rewriting the compacted base.
+
+        Two-phase for crash-safe resume: the replaced entries and their
+        data dirs stay in the manifest/on disk — readers at
+        ``as_of`` ≥ the compact id see the merged dir instead of them
+        (:meth:`_entries_as_of`), while a rollback to an earlier id
+        drops the compact entry and the originals resurface. Call
+        :meth:`expire_snapshots` once a state commit covers the compact
+        id to physically drop the replaced dirs. Returns the new
+        snapshot id (None when < 2 pending appends)."""
+        pend = self.pending_appends(upto_id)
+        if len(pend) < 2:
+            return None
+        dirs = [os.path.join(self.root, s["dir"]) for s in pend]
+        df = self._read_dirs(spark, dirs)
+        if df is None:
+            return None
+        m = self._load()
+        sid = (m["snapshots"][-1]["id"] + 1) if m["snapshots"] else 1
+        rel = f"data/s{sid:06d}"
+        out = os.path.join(self.root, rel)
+        w = df.write.mode("overwrite")
+        if partition_by:
+            # one file per partition value: the whole point is fewer
+            # files, and a compact pile is written at most once per
+            # compaction window
+            df = df.repartition(*[df[c] for c in partition_by])
+            w = df.write.mode("overwrite").partitionBy(*partition_by)
+        w.parquet(out)
+        m["snapshots"].append(
+            {
+                "id": sid,
+                "op": "compact",
+                "dir": rel,
+                "schema": df.schema.json(),
+                "replaces": [s["id"] for s in pend],
+            }
+        )
+        m["current"] = sid
+        self._commit(m)
+        return sid
+
+    def expire_snapshots(self, keep_from_id: int) -> int:
+        """Physically drop snapshot entries (and their data dirs) that
+        no read with ``as_of`` ≥ ``keep_from_id`` can reference: entries
+        before the newest overwrite at/under ``keep_from_id``, and
+        entries replaced by a compact entry at/under it. The Iceberg
+        expire_snapshots analog — call with the newest STATE-COMMITTED
+        id so crash rollback (always to that id) stays lossless.
+        Returns how many entries were dropped."""
+        m = self._load()
+        replaced: set[int] = set()
+        base_overwrite = None
+        for s in m["snapshots"]:
+            if s["id"] > keep_from_id:
+                break
+            if s["op"] == "compact":
+                replaced.update(s.get("replaces", []))
+            if s["op"] == "overwrite":
+                base_overwrite = s["id"]
+        drop = [
+            s
+            for s in m["snapshots"]
+            if s["id"] in replaced
+            or (base_overwrite is not None and s["id"] < base_overwrite)
+        ]
+        if not drop:
+            return 0
+        drop_ids = {s["id"] for s in drop}
+        m["snapshots"] = [s for s in m["snapshots"] if s["id"] not in drop_ids]
+        self._commit(m)
+        for s in drop:
+            shutil.rmtree(os.path.join(self.root, s["dir"]), ignore_errors=True)
+        return len(drop)
 
     def rollback(self, snapshot_id: int) -> None:
         """Drop snapshots newer than ``snapshot_id`` (crash-resume path).

@@ -64,7 +64,7 @@ def test_schedule_dim_tables_million_hosts(spark, engine, tmp_path_factory):
     )
     big_robots = spark.range(n).selectExpr(
         "concat('h', id, '.example') AS host",
-        "array('/private') AS prefixes",
+        "array(named_struct('p', '/private', 'allow', false)) AS rules",
     )
     eng.t_tokens.overwrite(big_tokens)
     eng.t_robots.overwrite(big_robots)

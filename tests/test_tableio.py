@@ -208,3 +208,58 @@ def test_notify_sink_gates_and_audits(spark, tmp_path):
     # plain row-count gate
     assert notify_if(df, "any_rows", "r3", send)
     assert len(t.read(spark).toPandas()) == 2
+
+
+def _live_data_dirs(t):
+    import os
+
+    return sorted(os.listdir(os.path.join(t.root, "data")))
+
+
+def test_compact_appends_two_phase(spark, tmp_path):
+    """compact_appends merges the pending delta snapshots into one
+    op='compact' entry that REPLACES them for readers at/after it,
+    while rollback to an earlier id resurfaces the originals — the
+    crash-safe two-phase shape (VERDICT r04 #2)."""
+    t = TableIO(str(tmp_path / "tc"))
+    t.overwrite(_df(spark, [0]))              # base (id 1)
+    for v in (1, 2, 3):
+        t.append(_df(spark, [v]))             # ids 2..4
+    pre = t.current_snapshot_id()
+    cid = t.compact_appends(spark, upto_id=pre)
+    assert cid == 5
+    assert sorted(r.x for r in t.read(spark).collect()) == [0, 1, 2, 3]
+    # time travel to a mid-pile id still resolves the originals
+    assert sorted(r.x for r in t.read(spark, as_of=3).collect()) == [0, 1, 2]
+    # live view = base + the one compact pile
+    assert [s["op"] for s in t._entries_as_of(None)] == ["overwrite", "compact"]
+    # a second window re-compacts the pile together with new appends
+    t.append(_df(spark, [4]))
+    t.append(_df(spark, [5]))
+    cid2 = t.compact_appends(spark, upto_id=t.current_snapshot_id())
+    assert sorted(r.x for r in t.read(spark).collect()) == [0, 1, 2, 3, 4, 5]
+    assert [s["op"] for s in t._entries_as_of(None)] == ["overwrite", "compact"]
+    # rollback across the compaction boundary: compact entries drop,
+    # originals resurface, content identical
+    t.rollback(pre)
+    assert sorted(r.x for r in t.read(spark).collect()) == [0, 1, 2, 3]
+    assert len(t.pending_appends(pre)) == 3
+
+
+def test_expire_snapshots_drops_covered_dirs(spark, tmp_path):
+    """expire_snapshots physically drops replaced/pre-overwrite entries
+    once the keep-from id covers them — and never before."""
+    t = TableIO(str(tmp_path / "te"))
+    t.append(_df(spark, [1]))                  # id 1
+    t.overwrite(_df(spark, [0]))               # id 2: pre-overwrite junk above
+    for v in (1, 2):
+        t.append(_df(spark, [v]))              # ids 3, 4
+    cid = t.compact_appends(spark, upto_id=4)  # id 5 replaces 3, 4
+    # keep-from BEFORE the compact: replaced entries must survive
+    assert t.expire_snapshots(4) == 1          # only the pre-overwrite id 1
+    assert {s["id"] for s in t.snapshots()} == {2, 3, 4, 5}
+    # keep-from covering the compact: replaced dirs go
+    assert t.expire_snapshots(cid) == 2
+    assert {s["id"] for s in t.snapshots()} == {2, 5}
+    assert sorted(r.x for r in t.read(spark).collect()) == [0, 1, 2]
+    assert len(_live_data_dirs(t)) == 2  # disk matches the manifest
