@@ -682,14 +682,10 @@ def q_k_dml_endstate(spark, sf):
     # K4/K5/T7 (handlers/db.py:160-169, 254-276, 38-54): DELETE →
     # UPDATE → MERGE on the TableIO snapshot seam; output = final table
     # state, oracle = the same DML as plain relational algebra
-    import tempfile
-
-    from scraper_spark.sources.tableio import TableIO
-
     base = _t(spark, sf, "customer").select(
         "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
     )
-    t = TableIO(os.path.join(tempfile.mkdtemp(prefix="sg_dml_"), "t"))
+    t = _scratch_table("dml_endstate")
     t.append(base)
     t.delete_where(spark, F.col("c_acctbal") < 0)
     t.update_set(
