@@ -458,8 +458,30 @@ def q_d_minhash_sig(spark, sf):
     return D.minhash_signatures(_t(spark, sf, "documents"))
 
 
+BATCH_MOD = 7  # incremental-dedup split: doc_id % 7 == 0 is the "new batch"
+
+
 def q_d_lsh_pairs(spark, sf):
-    return D.lsh_candidate_pairs(_t(spark, sf, "documents"))
+    # MinHash-LSH near-dup pairs, BOTH execution shapes as one tagged
+    # compound row (same 50-row-gate reasoning as the stored-ANN rows):
+    # path='corpus' = the corpus-wide band self-join; path='incr'
+    # (round 5) = the INCREMENTAL shape — a new-document batch
+    # (doc_id % 7 == 0) deduped against the stored band/signature index
+    # built from the rest of the corpus (operators/dedup.py
+    # minhash_build_index + lsh_dedup_table: bucket-pruned band
+    # equi-join + bucket-pruned signature verify, no corpus self-join).
+    docs = _t(spark, sf, "documents")
+    corpus_pairs = D.lsh_candidate_pairs(docs).select(
+        F.lit("corpus").alias("path"), "*"
+    )
+    is_batch = F.col("doc_id") % BATCH_MOD == 0
+    bands_t = _scratch_table("mh_bands")
+    sigs_t = _scratch_table("mh_sigs")
+    D.minhash_build_index(docs.where(~is_batch), bands_t, sigs_t)
+    incr = D.lsh_dedup_table(spark, bands_t, sigs_t, docs.where(is_batch)).select(
+        F.lit("incr").alias("path"), "*"
+    )
+    return corpus_pairs.unionByName(incr)
 
 
 def q_d_simhash(spark, sf):
@@ -1272,7 +1294,22 @@ def oracle_sql() -> dict[str, str]:
         "x_doc_profile": X.doc_profile_sql(),
         "d_exact_dups": D.exact_dup_groups_sql(),
         "d_minhash_sig": D.minhash_signatures_sql(),
-        "d_lsh_pairs": D.lsh_candidate_pairs_sql(),
+        # d_lsh_pairs is a tagged compound row (round 5): path='corpus'
+        # is the corpus-wide band self-join; path='incr' is the
+        # INCREMENTAL shape — the doc_id % 7 == 0 batch deduped against
+        # the stored band/signature index of the rest. The oracle
+        # mirrors the split logically (cross-set band join), so the
+        # union hash proves the stored-index path reproduces exactly
+        # the cross-set subset of the LSH semantics.
+        "d_lsh_pairs": (
+            "SELECT 'corpus' AS path, * FROM ("
+            + D.lsh_candidate_pairs_sql()
+            + ") UNION ALL SELECT 'incr' AS path, * FROM ("
+            + D.lsh_dedup_table_sql(
+                f"doc_id % {BATCH_MOD} <> 0", f"doc_id % {BATCH_MOD} = 0"
+            )
+            + ")"
+        ),
         "d_simhash": D.simhash_sql(),
         "d_ngram_jaccard": D.ngram_jaccard_pairs_sql(),
         "s_cosine_topk": S.cosine_topk_sql(),

@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W, functions as F
 
 from scraper_spark.functions.hashes import (
+    bucket_col,
     hex_long_col,
     hex_long_sql,
     md5_long_sql,
@@ -191,6 +192,33 @@ def release_signature_cache() -> None:
     caches.clear()
 
 
+def band_rows(sig: DataFrame) -> DataFrame:
+    """(doc_id, band_id, band_hash) — one row per LSH band of each
+    signature: the 8-band × 8-row banding both the corpus self-join
+    (:func:`lsh_candidate_pairs`) and the stored incremental index
+    (:func:`minhash_build_index`) hash on. One select + one explode."""
+    bands = sig.select(
+        "doc_id",
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|", *[F.col(f"mh{b * BAND_SIZE + j}") for j in range(BAND_SIZE)]
+                )
+            ).alias(f"band{b}")
+            for b in range(N_MINHASH // BAND_SIZE)
+        ],
+    )
+    return bands.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band_id"), F.col(f"band{b}").alias("band_hash"))
+                for b in range(N_MINHASH // BAND_SIZE)
+            ])
+        ).alias("bb"),
+    ).select("doc_id", "bb.band_id", "bb.band_hash")
+
+
 def lsh_candidate_pairs(
     docs: DataFrame,
     min_jaccard: float = MIN_JACCARD,
@@ -235,24 +263,7 @@ def lsh_candidate_pairs(
             release_signature_cache()
             sig = sig.persist()
             _thread_sig_caches().append(sig)
-    bands = sig.select(
-        "doc_id",
-        *[
-            F.md5(
-                F.concat_ws("|", *[F.col(f"mh{b * BAND_SIZE + j}") for j in range(BAND_SIZE)])
-            ).alias(f"band{b}")
-            for b in range(N_MINHASH // BAND_SIZE)
-        ],
-    )
-    stacked = bands.select(
-        "doc_id",
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(b).alias("band_id"), F.col(f"band{b}").alias("band_hash"))
-                for b in range(N_MINHASH // BAND_SIZE)
-            ])
-        ).alias("bb"),
-    ).select("doc_id", "bb.band_id", "bb.band_hash")
+    stacked = band_rows(sig)
     pairs = (
         stacked.alias("a")
         .join(
@@ -322,6 +333,209 @@ def lsh_candidate_pairs_sql(min_jaccard: float = MIN_JACCARD) -> str:
           FROM pairs p
           JOIN sig sa ON sa.doc_id = p.doc_a
           JOIN sig sb ON sb.doc_id = p.doc_b
+        ) WHERE jaccard_est >= {min_jaccard}
+    """
+
+
+# ------------------------------------------------- incremental dedup ----
+# Stored-index variant of the LSH family: dedup a batch of NEW
+# documents against an existing corpus WITHOUT re-running the corpus
+# self-join — the 100 TB pipeline shape (each crawl round's fresh pages
+# vs petabytes of already-ingested corpus), same reasoning as the
+# batched stored-ANN probes (VERDICT r04 #1). Reference analog being
+# scaled: the reference dedups each incremental batch against the
+# sink's existing keys one row at a time (handlers/db.py:38-54); here
+# the corpus side is a partitioned band index and the batch is one
+# equi-join.
+N_BAND_BUCKETS = 64  # band-index partition count (bb = band-hash slice % N)
+N_SIG_BUCKETS = 64  # signature-table partition count (db = md5(doc_id) % N)
+
+
+def _bb_col():
+    # band_hash is already an md5 hex string — slice it directly
+    # instead of paying a second digest for the bucket key
+    return hex_long_col(F.col("band_hash"), 1, 15) % F.lit(N_BAND_BUCKETS)
+
+
+def minhash_build_index(
+    docs: DataFrame, bands_table, sigs_table, signatures: DataFrame | None = None
+) -> tuple[int, int]:
+    """Materialize the corpus dedup index as two partitioned tables:
+
+    - ``bands_table``: (doc_id, band_id, band_hash) hive-partitioned by
+      ``bb`` (a slice of the band hash) — the probe side of the
+      incremental band join scans only the buckets the batch touches,
+    - ``sigs_table``: full 64-component signatures partitioned by
+      ``db = md5(doc_id) % N`` — the verify join reads only the buckets
+      holding candidate corpus docs.
+
+    Runs once per corpus (then :func:`minhash_index_append` per batch);
+    both writes are one explode + one shuffle-free projection over the
+    signature aggregate."""
+    sig = minhash_signatures(docs) if signatures is None else signatures
+    sig = sig.persist()
+    try:
+        stacked = band_rows(sig).withColumn("bb", _bb_col())
+        s1 = bands_table.overwrite(stacked, partition_by=["bb"])
+        s2 = sigs_table.overwrite(
+            sig.withColumn(
+                "db", bucket_col(F.col("doc_id").cast("string"), N_SIG_BUCKETS)
+            ),
+            partition_by=["db"],
+        )
+    finally:
+        sig.unpersist()
+    return s1, s2
+
+
+def minhash_index_append(
+    new_docs: DataFrame, bands_table, sigs_table, signatures: DataFrame | None = None
+) -> tuple[int, int]:
+    """Fold a (deduped) batch into the stored index: append its band
+    rows and signatures under the same partitioning. O(batch) work —
+    the corpus is never rewritten (TableIO append snapshots; its
+    compaction bounds file count over thousands of batches)."""
+    sig = minhash_signatures(new_docs) if signatures is None else signatures
+    sig = sig.persist()
+    try:
+        stacked = band_rows(sig).withColumn("bb", _bb_col())
+        s1 = bands_table.append(stacked, partition_by=["bb"])
+        s2 = sigs_table.append(
+            sig.withColumn(
+                "db", bucket_col(F.col("doc_id").cast("string"), N_SIG_BUCKETS)
+            ),
+            partition_by=["db"],
+        )
+    finally:
+        sig.unpersist()
+    return s1, s2
+
+
+def lsh_dedup_table(
+    spark,
+    bands_table,
+    sigs_table,
+    new_docs: DataFrame,
+    min_jaccard: float = MIN_JACCARD,
+) -> DataFrame:
+    """Near-duplicates of a NEW-document batch against the STORED
+    corpus index: (doc_a = corpus doc, doc_b = new doc, jaccard_est) —
+    batch-vs-corpus in one banded equi-join + one signature verify,
+    instead of re-running the O(corpus²-band) self-join per batch.
+    Batch-internal duplicates are out of scope by contract (run
+    :func:`lsh_candidate_pairs` on the batch for those — it is
+    O(batch) here).
+
+    Scan pruning, same pattern as the batched ANN probes: the batch's
+    distinct band buckets (≤ N_BAND_BUCKETS ints, bounded collect over
+    the persisted batch bands) prune the band-index scan; the
+    candidates' distinct doc buckets (≤ N_SIG_BUCKETS ints, bounded
+    collect over the persisted candidate frame) prune the
+    signature-table verify scan. Both collects are O(1)-bounded by
+    construction; sparse batches read a handful of index files."""
+    nsig = minhash_signatures(new_docs).persist()
+    nbands = band_rows(nsig).withColumn("bb", _bb_col()).persist()
+    # same lifecycle as lsh_candidate_pairs' signature frame: released
+    # on this thread's next materialized call or eagerly via
+    # release_signature_cache() once the result is written/collected
+    _thread_sig_caches().extend([nsig, nbands])
+    touched_bb = {int(r["bb"]) for r in nbands.select("bb").distinct().collect()}
+    corpus_bands = bands_table.read(spark, partitions={"bb": touched_bb})
+    cand = (
+        corpus_bands.select(
+            F.col("doc_id").alias("doc_a"), "band_id", "band_hash"
+        )
+        .join(
+            nbands.select(F.col("doc_id").alias("doc_b"), "band_id", "band_hash"),
+            ["band_id", "band_hash"],
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+        .persist()
+    )
+    _thread_sig_caches().append(cand)
+    touched_db = {
+        int(r["db"])
+        for r in cand.select(
+            bucket_col(F.col("doc_a").cast("string"), N_SIG_BUCKETS).alias("db")
+        )
+        .distinct()
+        .collect()
+    }
+    csig = sigs_table.read(spark, partitions={"db": touched_db})
+    sig_a = csig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(N_MINHASH)],
+    )
+    sig_b = nsig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(N_MINHASH)],
+    )
+    agree = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(N_MINHASH)
+    )
+    return (
+        cand.join(sig_a, "doc_a")
+        .join(sig_b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(agree / F.lit(float(N_MINHASH)), 4).alias("jaccard_est"),
+        )
+        .where(F.col("jaccard_est") >= min_jaccard)
+    )
+
+
+def lsh_dedup_table_sql(
+    corpus_where: str, batch_where: str, min_jaccard: float = MIN_JACCARD
+) -> str:
+    """DuckDB twin of :func:`lsh_dedup_table` over a ``documents``
+    split: corpus rows satisfy ``corpus_where``, the new batch
+    ``batch_where``. Same shingles/signature/banding CTEs as
+    :func:`lsh_candidate_pairs_sql`, with the self-join replaced by
+    the cross-set band join."""
+    n_bands = N_MINHASH // BAND_SIZE
+    band_exprs = ", ".join(
+        "md5("
+        + " || '|' || ".join(f"mh{b * BAND_SIZE + j}" for j in range(BAND_SIZE))
+        + f") AS band{b}"
+        for b in range(n_bands)
+    )
+
+    def stack(src: str) -> str:
+        return " UNION ALL ".join(
+            f"SELECT doc_id, {b} AS band_id, band{b} AS band_hash FROM {src}"
+            for b in range(n_bands)
+        )
+
+    agree = " + ".join(
+        f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END" for i in range(N_MINHASH)
+    )
+    mins = ", ".join(f"min(h1 + {i} * h2) AS mh{i}" for i in range(N_MINHASH))
+    return f"""
+        WITH w AS ({_SHINGLES_SQL}),
+        h AS ({_HASH_PAIR_SQL}),
+        sig AS (SELECT doc_id, {mins} FROM h GROUP BY doc_id),
+        sigc AS (SELECT s.* FROM sig s JOIN documents d USING (doc_id)
+                 WHERE {corpus_where}),
+        sign_ AS (SELECT s.* FROM sig s JOIN documents d USING (doc_id)
+                  WHERE {batch_where}),
+        bandsc AS (SELECT doc_id, {band_exprs} FROM sigc),
+        bandsn AS (SELECT doc_id, {band_exprs} FROM sign_),
+        stackedc AS ({stack('bandsc')}),
+        stackedn AS ({stack('bandsn')}),
+        pairs AS (
+          SELECT DISTINCT c.doc_id AS doc_a, n.doc_id AS doc_b
+          FROM stackedc c JOIN stackedn n
+            ON c.band_id = n.band_id AND c.band_hash = n.band_hash
+        )
+        SELECT doc_a, doc_b, jaccard_est FROM (
+          SELECT p.doc_a, p.doc_b,
+                 round(({agree}) / {float(N_MINHASH)}, 4) AS jaccard_est
+          FROM pairs p
+          JOIN sigc sa ON sa.doc_id = p.doc_a
+          JOIN sign_ sb ON sb.doc_id = p.doc_b
         ) WHERE jaccard_est >= {min_jaccard}
     """
 

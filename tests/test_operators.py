@@ -673,3 +673,131 @@ def test_ws_class_parity_spark_vs_duckdb(spark):
     )
     assert list(got_spark.n_tokens) == list(got_duck.n_tokens)
     assert list(got_spark.fp) == list(got_duck.fp)
+
+
+# ------------------------------------------- incremental LSH dedup ----
+def _incr_docs(spark):
+    """14 docs with two planted near-dup clusters that SPAN the
+    corpus/batch split (batch = doc_id % 3 == 0), plus unrelated
+    filler. Cluster A: 0,1,2 (batch doc 0 vs corpus 1,2); cluster B:
+    3,4 (batch doc 3 vs corpus 4)."""
+    base_a = "one two three four five six seven eight nine ten " * 3
+    base_b = "red orange yellow green blue indigo violet ultra infra deep " * 3
+    texts = {
+        0: base_a + "tail0",
+        1: base_a + "tail0",
+        2: base_a + "tail1",
+        3: base_b + "end0",
+        4: base_b + "end0",
+    }
+    for i in range(5, 14):
+        texts[i] = f"unrelated corpus number {i} with different words {i * 7}"
+    return spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+    )
+
+
+def test_lsh_dedup_table_matches_cross_subset(spark, tmp_path):
+    """The stored-index incremental dedup (minhash_build_index +
+    lsh_dedup_table) must reproduce EXACTLY the cross-set subset of
+    the corpus-wide lsh_candidate_pairs self-join — same pairs, same
+    jaccard_est — with the batch never joined against itself."""
+    from scraper_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        lsh_dedup_table,
+        minhash_build_index,
+        release_signature_cache,
+    )
+    from scraper_spark.sources.tableio import TableIO
+
+    docs = _incr_docs(spark)
+    is_batch = F.col("doc_id") % 3 == 0
+    batch_ids = {r[0] for r in docs.where(is_batch).select("doc_id").collect()}
+    full = lsh_candidate_pairs(docs).toPandas()
+    expected = sorted(
+        (
+            (a, b, j) if a not in batch_ids else (b, a, j)
+            for a, b, j in zip(full.doc_a, full.doc_b, full.jaccard_est)
+            if (a in batch_ids) != (b in batch_ids)
+        )
+    )
+    assert expected, "fixture must plant cross-split near-dups"
+    bands_t = TableIO(str(tmp_path / "bands"))
+    sigs_t = TableIO(str(tmp_path / "sigs"))
+    minhash_build_index(docs.where(~is_batch), bands_t, sigs_t)
+    got = lsh_dedup_table(spark, bands_t, sigs_t, docs.where(is_batch)).toPandas()
+    assert sorted(zip(got.doc_a, got.doc_b, got.jaccard_est)) == expected
+    # batch-internal pair (0,3)-style rows must NOT appear
+    assert not [r for r in zip(got.doc_a, got.doc_b) if r[0] in batch_ids]
+    release_signature_cache()
+
+
+def test_minhash_index_append_equals_rebuild(spark, tmp_path):
+    """minhash_index_append folds a batch into the stored index with
+    O(batch) work; probing the appended index must equal probing an
+    index rebuilt from scratch on the union — the multi-root append
+    path and the single-root rebuild are interchangeable."""
+    from scraper_spark.operators.dedup import (
+        lsh_dedup_table,
+        minhash_build_index,
+        minhash_index_append,
+        release_signature_cache,
+    )
+    from scraper_spark.sources.tableio import TableIO
+
+    docs = _incr_docs(spark)
+    is_batch = F.col("doc_id") % 3 == 0
+    corpus = docs.where(~is_batch)
+    first, second = corpus.where(F.col("doc_id") < 5), corpus.where(F.col("doc_id") >= 5)
+    at, st = TableIO(str(tmp_path / "ab")), TableIO(str(tmp_path / "as"))
+    minhash_build_index(first, at, st)
+    minhash_index_append(second, at, st)
+    rt, rs = TableIO(str(tmp_path / "rb")), TableIO(str(tmp_path / "rs"))
+    minhash_build_index(corpus, rt, rs)
+    batch = docs.where(is_batch)
+    got_a = lsh_dedup_table(spark, at, st, batch).toPandas()
+    got_r = lsh_dedup_table(spark, rt, rs, batch).toPandas()
+    key = lambda d: sorted(zip(d.doc_a, d.doc_b, d.jaccard_est))
+    assert key(got_a) == key(got_r)
+    assert len(got_a) > 0
+    release_signature_cache()
+
+
+def test_lsh_dedup_index_scan_pruned(spark, tmp_path):
+    """Scan pruning on the stored dedup index, both layouts: a
+    single-root (overwrite-only) index prunes via Catalyst
+    PartitionFilters on bb; a multi-root (post-append) index prunes at
+    the manifest level — TableIO.read lists only the touched bb= leaf
+    dirs, verified via inputFiles()."""
+    import contextlib
+    import io
+
+    from scraper_spark.operators.dedup import (
+        lsh_dedup_table,
+        minhash_build_index,
+        minhash_index_append,
+        release_signature_cache,
+    )
+    from scraper_spark.sources.tableio import TableIO
+
+    docs = _incr_docs(spark)
+    is_batch = F.col("doc_id") % 3 == 0
+    bands_t = TableIO(str(tmp_path / "bands"))
+    sigs_t = TableIO(str(tmp_path / "sigs"))
+    minhash_build_index(docs.where(~is_batch), bands_t, sigs_t)
+    got = lsh_dedup_table(spark, bands_t, sigs_t, docs.where(is_batch))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        got.explain(True)
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    assert "bb" in plan.split("PartitionFilters", 1)[1][:400]
+    # multi-root: append flips TableIO.read to manifest-level pruning
+    minhash_index_append(docs.where(F.col("doc_id") == 13), bands_t, sigs_t)
+    some_bb = int(
+        bands_t.read(spark).select("bb").distinct().limit(1).collect()[0][0]
+    )
+    pruned = bands_t.read(spark, partitions={"bb": {some_bb}})
+    files = pruned.inputFiles()
+    assert files and all(f"bb={some_bb}/" in f for f in files)
+    release_signature_cache()
