@@ -111,6 +111,20 @@ def run_ann_stored(sf_dir: str) -> dict[str, float]:
         spark, table, emb.where(F.col("vec_id") < 64), n_bits=8, probe_hamming=1
     ).write.format("noop").mode("overwrite").save()
     out["lsh_probe_table64"] = round(time.monotonic() - t0, 3)
+    ivf_table = E._scratch_table("bench_ivf_lists")
+    t0 = time.monotonic()
+    S.ivf_build_lists(emb, ivf_table, k_centroids=16)
+    out["ivf_build"] = round(time.monotonic() - t0, 3)
+    t0 = time.monotonic()
+    S.ivf_topk_from_lists(
+        spark, ivf_table, qvec, k_centroids=16, nprobe=4, exclude_vec_id=0
+    ).write.format("noop").mode("overwrite").save()
+    out["ivf_probe_point"] = round(time.monotonic() - t0, 3)
+    t0 = time.monotonic()
+    S.ivf_topk_table(
+        spark, ivf_table, emb.where(F.col("vec_id") < 64), k_centroids=16, nprobe=4
+    ).write.format("noop").mode("overwrite").save()
+    out["ivf_probe_table64"] = round(time.monotonic() - t0, 3)
     return out
 
 

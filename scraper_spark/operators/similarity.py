@@ -219,6 +219,23 @@ def lsh_build_buckets(
     return table.overwrite(with_b, partition_by=["bucket"])
 
 
+def lsh_append_buckets(
+    embeddings: DataFrame, table, n_bits: int = N_SIGN_BITS
+) -> int:
+    """Fold a NEW-vector batch into the stored sign-LSH index with
+    O(batch) work (the ANN twin of :func:`..dedup.minhash_index_append`
+    — the corpus is never rewritten). Sign buckets are stateless (pure
+    bit arithmetic per vector, no corpus-derived parameters), so an
+    appended index is EXACTLY the index a full rebuild would produce;
+    ``n_bits`` must match the build (test-pinned append-vs-rebuild).
+    TableIO append snapshots keep reads one scan and its compaction
+    bounds file count over thousands of batches."""
+    with_b = embeddings.withColumn(
+        "bucket", sign_bucket_col(F.col("embedding"), n_bits)
+    )
+    return table.append(with_b, partition_by=["bucket"])
+
+
 def lsh_topk_from_buckets(
     spark,
     table,
@@ -560,6 +577,38 @@ def ivf_build_lists(
     committed snapshot id."""
     assign = ivf_assign(embeddings, k_centroids, centroids=centroids)
     return table.overwrite(assign, partition_by=["cid"])
+
+
+def ivf_append_lists(
+    spark,
+    table,
+    new_embeddings: DataFrame,
+    k_centroids: int = N_IVF_CENTROIDS,
+    centroids: DataFrame | None = None,
+) -> int:
+    """Fold a NEW-vector batch into the stored IVF lists with O(batch)
+    work: assign the batch against the index's EXISTING centroids and
+    append under the same cid partitioning — the corpus is never
+    re-quantized per batch (the ANN twin of
+    :func:`..dedup.minhash_index_append`).
+
+    Unlike sign-LSH, IVF assignment depends on corpus-derived
+    parameters, so the batch must NOT derive centroids from itself: in
+    the default pinned mode the first-``k_centroids`` vec_ids are read
+    from the STORED lists (the vectors the build used), and production
+    passes the same persisted :func:`kmeans_centroids` table it built
+    with. Append-vs-rebuild identity then holds exactly (test-pinned);
+    drifted centroids (a re-trained kmeans) require a rebuild, which is
+    the correct semantics — the lists ARE the quantization."""
+    cents = centroids
+    if cents is None:
+        cents = (
+            table.read(spark)
+            .where(F.col("vec_id") < k_centroids)
+            .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+        )
+    assign = ivf_assign(new_embeddings, k_centroids, centroids=cents)
+    return table.append(assign, partition_by=["cid"])
 
 
 def _seq_cosine(a, b) -> float:

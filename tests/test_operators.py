@@ -801,3 +801,89 @@ def test_lsh_dedup_index_scan_pruned(spark, tmp_path):
     files = pruned.inputFiles()
     assert files and all(f"bb={some_bb}/" in f for f in files)
     release_signature_cache()
+
+
+def test_lsh_append_buckets_equals_rebuild(spark, tmp_path):
+    """Sign buckets are stateless per vector, so build(first) +
+    append(rest) must be row-identical to build(union), and probes
+    against both indexes must agree exactly."""
+    import numpy as np
+
+    from scraper_spark.operators.similarity import (
+        lsh_append_buckets,
+        lsh_build_buckets,
+        lsh_topk_from_buckets,
+        lsh_topk_table,
+    )
+    from scraper_spark.sources.tableio import TableIO
+
+    rng = np.random.default_rng(11)
+    rows = [
+        (i, [float(x) for x in rng.normal(size=16)], i % 3) for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    first, rest = df.where(F.col("vec_id") < 200), df.where(F.col("vec_id") >= 200)
+    at = TableIO(str(tmp_path / "lsh_app"))
+    lsh_build_buckets(first, at, n_bits=8)
+    lsh_append_buckets(rest, at, n_bits=8)
+    rt = TableIO(str(tmp_path / "lsh_reb"))
+    lsh_build_buckets(df, rt, n_bits=8)
+    ga = at.read(spark).select("vec_id", "bucket").toPandas().sort_values("vec_id")
+    gr = rt.read(spark).select("vec_id", "bucket").toPandas().sort_values("vec_id")
+    assert list(ga.vec_id) == list(gr.vec_id)
+    assert list(ga.bucket) == list(gr.bucket)
+    # probes agree: a point probe and a batched probe, appended vs rebuilt
+    qvec = rows[250][1]
+    pa = lsh_topk_from_buckets(spark, at, qvec, k=5, n_bits=8, exclude_vec_id=250).toPandas()
+    pr = lsh_topk_from_buckets(spark, rt, qvec, k=5, n_bits=8, exclude_vec_id=250).toPandas()
+    assert list(pa.vec_id) == list(pr.vec_id) and list(pa.cosine) == list(pr.cosine)
+    queries = df.where(F.col("vec_id").isin([5, 250]))
+    ta = lsh_topk_table(spark, at, queries, k=5, n_bits=8).toPandas()
+    tr = lsh_topk_table(spark, rt, queries, k=5, n_bits=8).toPandas()
+    key = lambda d: sorted(zip(d.qid, d.vec_id, d.cosine))
+    assert key(ta) == key(tr)
+
+
+def test_ivf_append_lists_equals_rebuild(spark, tmp_path):
+    """IVF append assigns the batch against the STORED index's
+    centroids (not the batch's own), so build(first) + append(rest)
+    is assignment-identical to build(union) whenever the pinned
+    first-k vectors live in `first` — and probes agree exactly."""
+    import numpy as np
+
+    from scraper_spark.operators.similarity import (
+        ivf_append_lists,
+        ivf_build_lists,
+        ivf_topk_from_lists,
+        ivf_topk_table,
+    )
+    from scraper_spark.sources.tableio import TableIO
+
+    rng = np.random.default_rng(13)
+    rows = [
+        (i, [float(x) for x in rng.normal(size=16)], i % 3) for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    first, rest = df.where(F.col("vec_id") < 200), df.where(F.col("vec_id") >= 200)
+    at = TableIO(str(tmp_path / "ivf_app"))
+    ivf_build_lists(first, at, k_centroids=8)
+    ivf_append_lists(spark, at, rest, k_centroids=8)
+    rt = TableIO(str(tmp_path / "ivf_reb"))
+    ivf_build_lists(df, rt, k_centroids=8)
+    ga = at.read(spark).select("vec_id", "cid").toPandas().sort_values("vec_id")
+    gr = rt.read(spark).select("vec_id", "cid").toPandas().sort_values("vec_id")
+    assert list(ga.vec_id) == list(gr.vec_id)
+    assert list(ga.cid) == list(gr.cid)
+    qvec = rows[250][1]
+    pa = ivf_topk_from_lists(
+        spark, at, qvec, k=5, k_centroids=8, nprobe=2, exclude_vec_id=250
+    ).toPandas()
+    pr = ivf_topk_from_lists(
+        spark, rt, qvec, k=5, k_centroids=8, nprobe=2, exclude_vec_id=250
+    ).toPandas()
+    assert list(pa.vec_id) == list(pr.vec_id) and list(pa.cosine) == list(pr.cosine)
+    queries = df.where(F.col("vec_id").isin([5, 250]))
+    ta = ivf_topk_table(spark, at, queries, k=5, k_centroids=8, nprobe=2).toPandas()
+    tr = ivf_topk_table(spark, rt, queries, k=5, k_centroids=8, nprobe=2).toPandas()
+    key = lambda d: sorted(zip(d.qid, d.vec_id, d.cosine))
+    assert key(ta) == key(tr)
