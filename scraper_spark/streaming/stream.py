@@ -15,9 +15,15 @@ observable, so micro-batching is free:
 - ``stateful_host_counters`` — applyInPandasWithState running per-host
   fetch counters across micro-batches: the streaming form of the
   reference's run counters (handlers/scrapers.py:100,144, A7).
+- ``streaming_ingest_dedup`` — dedup-at-ingest over a document stream:
+  each micro-batch is near-dup-checked against the STORED MinHash/LSH
+  index (batch-vs-corpus banded equi-join, scans pruned to the touched
+  buckets), survivors are folded into the index with O(batch) work,
+  and the index grows with the stream — the training-data pipeline
+  shape where the corpus must never be re-indexed per arrival.
 
-All three are smoke-tested with the memory sink +
-``processAllAvailable()`` (no always-on cluster in the sandbox).
+All are smoke-tested with the memory sink / file-source micro-batches
++ ``processAllAvailable()`` (no always-on cluster in the sandbox).
 """
 
 from __future__ import annotations
@@ -111,6 +117,80 @@ def stateful_host_counters(log_stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def streaming_ingest_dedup(
+    stream_docs: DataFrame,
+    bands_table,
+    sigs_table,
+    accepted_table,
+    checkpoint: str | None = None,
+    min_jaccard: float | None = None,
+):
+    """Dedup-at-ingest: drive a streaming ``(doc_id, text, ...)`` frame
+    through per-micro-batch near-dup rejection against the stored
+    MinHash band/signature index, folding every ACCEPTED doc into the
+    index so later batches dedup against earlier ones.
+
+    Per micro-batch (foreachBatch — all inner ops are ordinary batch
+    dataflow):
+
+    1. intra-batch: ``lsh_candidate_pairs`` on the batch; any doc
+       near-dup of a lower-id batch doc is dropped (greedy first-wins,
+       the stream analog of the a5 batch rule);
+    2. cross-corpus: ``lsh_dedup_table`` probes the stored index with
+       one banded equi-join + one signature verify, both scans pruned
+       to the buckets the batch touches — O(batch), never O(corpus);
+    3. survivors append to ``accepted_table`` (tagged ``batch_id``) and
+       ``minhash_index_append`` folds them into the index.
+
+    First batch (no index yet) skips 2 and BUILDS the index. TableIO
+    commits are atomic per table but the three writes are not one
+    transaction: a crash between them can replay a batch on restart —
+    exactly-once needs the sink to dedup on ``batch_id`` (the Iceberg
+    deployment keys its overwrite-by-filter on it); the sandbox test
+    drives a single run where replay cannot occur.
+
+    Returns the started StreamingQuery (caller awaits/stops)."""
+    from scraper_spark.operators import dedup as D
+
+    mj = D.MIN_JACCARD if min_jaccard is None else min_jaccard
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = batch_df.persist()
+        try:
+            if batch.isEmpty():
+                return
+            intra = D.lsh_candidate_pairs(batch, min_jaccard=mj)
+            drop_intra = intra.select(F.col("doc_b").alias("doc_id")).distinct()
+            survivors = batch.join(drop_intra, "doc_id", "left_anti")
+            if bands_table.exists():
+                hits = D.lsh_dedup_table(
+                    spark, bands_table, sigs_table, survivors, min_jaccard=mj
+                )
+                drop_corpus = hits.select(F.col("doc_b").alias("doc_id")).distinct()
+                accepted = survivors.join(drop_corpus, "doc_id", "left_anti").persist()
+                accepted_table.append(
+                    accepted.withColumn("batch_id", F.lit(batch_id))
+                )
+                D.minhash_index_append(accepted, bands_table, sigs_table)
+                accepted.unpersist()
+            else:
+                accepted = survivors.persist()
+                accepted_table.append(
+                    accepted.withColumn("batch_id", F.lit(batch_id))
+                )
+                D.minhash_build_index(accepted, bands_table, sigs_table)
+                accepted.unpersist()
+        finally:
+            D.release_signature_cache()
+            batch.unpersist()
+
+    writer = stream_docs.writeStream.foreachBatch(_process)
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
 
 
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"):

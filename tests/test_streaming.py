@@ -90,3 +90,78 @@ def test_stateful_host_counters(spark, crawl_work):
         assert got == batch
     finally:
         q.stop()
+
+
+def test_streaming_ingest_dedup(spark, tmp_path):
+    """Dedup-at-ingest over three controlled micro-batches: exact-copy
+    duplicates (signature-identical, jaccard_est 1.0 — deterministic)
+    are rejected intra-batch (first-wins by doc_id) and against the
+    growing stored index; every accepted doc becomes part of the corpus
+    later batches dedup against. Expected accept set is hand-derived."""
+    import time
+
+    from scraper_spark.sources.tableio import TableIO
+
+    def doc(i, text):
+        return (i, text)
+
+    def words(tag, n=12):
+        return " ".join(f"{tag}w{j}" for j in range(n))
+
+    b0 = [doc(i, words(f"b0d{i}")) for i in range(10)]          # all distinct
+    b1 = [
+        doc(10, words("b1d10")),
+        doc(11, words("b1d11")),
+        doc(12, words("b0d3")),   # == doc 3 (in corpus) -> reject
+        doc(13, words("b1d13")),
+        doc(14, words("b1d14")),
+        doc(15, words("b1d14")),  # == doc 14 (same batch, higher id) -> reject
+        doc(16, words("b1d16")),
+        doc(17, words("b1d17")),
+        doc(18, words("b1d18")),
+        doc(19, words("b1d19")),
+    ]
+    b2 = [
+        doc(20, words("b2d20")),
+        doc(21, words("b0d3")),   # == doc 3 via rejected doc 12 -> reject
+        doc(22, words("b1d14")),  # == doc 14 (accepted in batch 1) -> reject
+        doc(23, words("b2d23")),
+        doc(24, words("b2d24")),
+    ]
+    src = tmp_path / "docs_stream"
+    src.mkdir()
+    schema = "doc_id long, text string"
+    now = time.time()
+    for i, rows in enumerate([b0, b1, b2]):
+        spark.createDataFrame(rows, schema).toPandas().to_parquet(
+            str(src / f"b{i}.parquet"), index=False
+        )
+        # file source orders micro-batches by mtime (latestFirst=false)
+        os.utime(str(src / f"b{i}.parquet"), (now + 10 * i, now + 10 * i))
+    streamed = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    bands_t = TableIO(str(tmp_path / "bands"))
+    sigs_t = TableIO(str(tmp_path / "sigs"))
+    acc_t = TableIO(str(tmp_path / "accepted"))
+    q = ST.streaming_ingest_dedup(
+        streamed, bands_t, sigs_t, acc_t, checkpoint=str(tmp_path / "ckpt")
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = acc_t.read(spark).toPandas().sort_values("doc_id")
+    expected = sorted(
+        list(range(10)) + [10, 11, 13, 14, 16, 17, 18, 19] + [20, 23, 24]
+    )
+    assert list(got.doc_id) == expected
+    # batch tags survived: later batches really went through the
+    # incremental path, and the index covers exactly the accepted docs
+    assert set(got.batch_id) == {0, 1, 2}
+    assert sigs_t.read(spark).count() == len(expected)
+    from scraper_spark.operators.dedup import N_MINHASH, BAND_SIZE
+
+    assert bands_t.read(spark).count() == len(expected) * (N_MINHASH // BAND_SIZE)
