@@ -679,9 +679,21 @@ def q_i_phash_band_dedup(spark, sf):
     # I6 banded Hamming join (operators/phash_dedup.py) on 60-bit
     # md5-derived hashes + planted 1-bit variants; the oracle is the
     # brute-force all-pairs ground truth — equality PROVES the banding
-    # complete for hamming ≤ 3 (pigeonhole bound)
+    # complete for hamming ≤ 3 (pigeonhole bound). Tagged compound row
+    # (round 5): path='corpus' = the corpus-wide band self-join;
+    # path='incr' = the INCREMENTAL image-dedup shape — the
+    # id % 7 == 0 batch probed against the STORED band index built
+    # from the rest (phash_build_index + phash_dedup_table: one
+    # bucket-pruned equi-join, no corpus self-join; 1000000 % 7 == 1,
+    # so each planted base/variant pair straddles the split for
+    # id % 7 in {0, 6} and the incr branch is non-trivial). The
+    # brute-force cross-set oracle proves the stored path complete.
     from scraper_spark.functions.hashes import md5_long_col
-    from scraper_spark.operators.phash_dedup import phash_near_dup_pairs
+    from scraper_spark.operators.phash_dedup import (
+        phash_build_index,
+        phash_dedup_table,
+        phash_near_dup_pairs,
+    )
 
     # explicit whitespace class, NOT \s: Java \s includes \x0B, RE2's
     # does not — with \s a vertical tab would hash differently on the
@@ -697,7 +709,16 @@ def q_i_phash_band_dedup(spark, sf):
         ),
     )
     corpus = base.select("id", "ph").unionByName(variant)
-    return phash_near_dup_pairs(corpus, max_hamming=3, id_col="id", phash_col="ph")
+    pairs = phash_near_dup_pairs(
+        corpus, max_hamming=3, id_col="id", phash_col="ph"
+    ).select(F.lit("corpus").alias("path"), "*")
+    is_batch = F.col("id") % BATCH_MOD == 0
+    t = _scratch_table("ph_bands")
+    phash_build_index(corpus.where(~is_batch), t, id_col="id", phash_col="ph")
+    incr = phash_dedup_table(
+        spark, t, corpus.where(is_batch), max_hamming=3, id_col="id", phash_col="ph"
+    ).select(F.lit("incr").alias("path"), "*")
+    return pairs.unionByName(incr)
 
 
 def q_k_dml_endstate(spark, sf):
@@ -1438,6 +1459,10 @@ def _bloom_oracle_sql() -> str:
 
 
 def _phash_band_oracle_sql() -> str:
+    # compound mirror of q_i_phash_band_dedup: 'corpus' = brute-force
+    # all-pairs (id_a < id_b); 'incr' = the cross-set subset with
+    # corpus-side id first — the ground truth the stored band index
+    # must reproduce exactly
     from scraper_spark.functions.hashes import md5_long_sql
 
     norm = X.NORM_SQL  # explicit whitespace class — see q_i_phash_band_dedup
@@ -1453,8 +1478,15 @@ def _phash_band_oracle_sql() -> str:
         corpus AS (
           SELECT id, ph FROM base UNION ALL SELECT id, ph FROM var
         )
-        SELECT a.id AS id_a, b.id AS id_b,
+        SELECT 'corpus' AS path, a.id AS id_a, b.id AS id_b,
                CAST(bit_count(xor(a.ph, b.ph)) AS INT) AS hamming
         FROM corpus a JOIN corpus b ON a.id < b.id
+        WHERE bit_count(xor(a.ph, b.ph)) <= 3
+        UNION ALL
+        SELECT 'incr' AS path, a.id AS id_a, b.id AS id_b,
+               CAST(bit_count(xor(a.ph, b.ph)) AS INT) AS hamming
+        FROM corpus a JOIN corpus b
+          ON a.id % {BATCH_MOD} <> 0 AND b.id % {BATCH_MOD} = 0
+         AND a.id <> b.id
         WHERE bit_count(xor(a.ph, b.ph)) <= 3
     """

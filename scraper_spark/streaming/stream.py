@@ -21,6 +21,10 @@ observable, so micro-batching is free:
   buckets), survivors are folded into the index with O(batch) work,
   and the index grows with the stream — the training-data pipeline
   shape where the corpus must never be re-indexed per arrival.
+- ``streaming_image_ingest_dedup`` — the image twin: each micro-batch
+  of (image_id, phash, ...) rows is Hamming-checked against the STORED
+  pHash band index (operators/phash_dedup.py), survivors append + fold
+  in with O(batch) work — dedup-at-ingest for the crawl's image stage.
 
 All are smoke-tested with the memory sink / file-source micro-batches
 + ``processAllAvailable()`` (no always-on cluster in the sandbox).
@@ -188,6 +192,85 @@ def streaming_ingest_dedup(
             batch.unpersist()
 
     writer = stream_docs.writeStream.foreachBatch(_process)
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
+def streaming_image_ingest_dedup(
+    stream_images: DataFrame,
+    bands_table,
+    accepted_table,
+    checkpoint: str | None = None,
+    max_hamming: int | None = None,
+    id_col: str = "image_id",
+    phash_col: str = "phash",
+):
+    """Image dedup-at-ingest: drive a streaming ``(image_id, phash,
+    ...)`` frame through per-micro-batch near-dup rejection against the
+    stored pHash band index, folding every ACCEPTED image in so later
+    batches dedup against earlier ones — the image twin of
+    :func:`streaming_ingest_dedup`, with the same per-batch dataflow:
+
+    1. intra-batch: ``phash_near_dup_pairs`` on the batch; any image
+       within Hamming ≤ ``max_hamming`` of a lower-id batch image is
+       dropped (the same deterministic drop-the-higher-id rule);
+    2. cross-corpus: ``phash_dedup_table`` probes the stored index with
+       one band equi-join pruned to the batch's touched buckets —
+       O(batch), never O(corpus);
+    3. survivors append to ``accepted_table`` (tagged ``batch_id``) and
+       ``phash_index_append`` folds them into the index.
+
+    First batch (no index yet) skips 2 and BUILDS the index. Same
+    exactly-once caveat as the text twin: the two table writes are
+    atomic each but not one transaction — a crash between them can
+    replay a batch, which an idempotent sink dedups on ``batch_id``.
+
+    Returns the started StreamingQuery (caller awaits/stops)."""
+    from scraper_spark.operators import phash_dedup as P
+
+    mh = (P.N_BANDS - 1) if max_hamming is None else max_hamming
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = batch_df.persist()
+        try:
+            if batch.isEmpty():
+                return
+            intra = P.phash_near_dup_pairs(
+                batch, max_hamming=mh, id_col=id_col, phash_col=phash_col
+            )
+            drop_intra = intra.select(F.col("id_b").alias(id_col)).distinct()
+            survivors = batch.join(drop_intra, id_col, "left_anti")
+            if bands_table.exists():
+                hits = P.phash_dedup_table(
+                    spark, bands_table, survivors,
+                    max_hamming=mh, id_col=id_col, phash_col=phash_col,
+                )
+                drop_corpus = hits.select(F.col("id_b").alias(id_col)).distinct()
+                accepted = survivors.join(
+                    drop_corpus, id_col, "left_anti"
+                ).persist()
+                accepted_table.append(
+                    accepted.withColumn("batch_id", F.lit(batch_id))
+                )
+                P.phash_index_append(
+                    accepted, bands_table, id_col=id_col, phash_col=phash_col
+                )
+                accepted.unpersist()
+            else:
+                accepted = survivors.persist()
+                accepted_table.append(
+                    accepted.withColumn("batch_id", F.lit(batch_id))
+                )
+                P.phash_build_index(
+                    accepted, bands_table, id_col=id_col, phash_col=phash_col
+                )
+                accepted.unpersist()
+        finally:
+            batch.unpersist()
+
+    writer = stream_images.writeStream.foreachBatch(_process)
     if checkpoint is not None:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()

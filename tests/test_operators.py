@@ -887,3 +887,117 @@ def test_ivf_append_lists_equals_rebuild(spark, tmp_path):
     tr = ivf_topk_table(spark, rt, queries, k=5, k_centroids=8, nprobe=2).toPandas()
     key = lambda d: sorted(zip(d.qid, d.vec_id, d.cosine))
     assert key(ta) == key(tr)
+
+
+# ---------------------------------------- stored pHash band index ----
+
+
+def _ph_corpus(spark):
+    """Synthetic 64-bit phashes with planted cross-split near-dups:
+    id < 100 are random hashes; id 100+j is id j's hash with j%4+1 bit
+    flips (hamming 1-4), so pairs (j, 100+j) are ground truth."""
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    base = rng.integers(-(2**63), 2**63, size=100, dtype=np.int64)
+    rows = [(int(i), int(h)) for i, h in enumerate(base)]
+    for j in range(0, 100, 7):
+        ph = int(base[j])
+        for b in range(j % 4 + 1):
+            ph ^= 1 << ((j * 5 + b * 13) % 64)
+        rows.append((100 + j, ph))
+    return spark.createDataFrame(rows, "image_id long, phash long")
+
+
+def test_phash_dedup_table_matches_cross_subset(spark, tmp_path):
+    """The stored-index incremental image dedup (phash_build_index +
+    phash_dedup_table) must reproduce EXACTLY the cross-set subset of
+    the corpus-wide banded self-join — same pairs, same hamming — with
+    the batch never joined against itself."""
+    from scraper_spark.operators.phash_dedup import (
+        phash_build_index,
+        phash_dedup_table,
+    )
+    from scraper_spark.sources.tableio import TableIO
+
+    imgs = _ph_corpus(spark)
+    is_batch = F.col("image_id") % 3 == 0
+    batch_ids = {r[0] for r in imgs.where(is_batch).select("image_id").collect()}
+    full = phash_near_dup_pairs(imgs, max_hamming=3).toPandas()
+    expected = sorted(
+        (a, b, h) if a not in batch_ids else (b, a, h)
+        for a, b, h in zip(full.id_a, full.id_b, full.hamming)
+        if (a in batch_ids) != (b in batch_ids)
+    )
+    assert expected, "fixture must plant cross-split near-dups"
+    t = TableIO(str(tmp_path / "ph_bands"))
+    phash_build_index(imgs.where(~is_batch), t)
+    got = phash_dedup_table(spark, t, imgs.where(is_batch)).toPandas()
+    assert sorted(zip(got.id_a, got.id_b, got.hamming)) == expected
+    # batch-internal rows must NOT appear (id_a is always a corpus id)
+    assert not [a for a in got.id_a if a in batch_ids]
+
+
+def test_phash_index_append_equals_rebuild(spark, tmp_path):
+    """Band keys are stateless bit slices, so build(first) +
+    append(rest) must be row-identical to build(union), and probes
+    against both indexes must agree exactly."""
+    from scraper_spark.operators.phash_dedup import (
+        phash_build_index,
+        phash_dedup_table,
+        phash_index_append,
+    )
+    from scraper_spark.sources.tableio import TableIO
+
+    imgs = _ph_corpus(spark)
+    is_batch = F.col("image_id") % 3 == 0
+    corpus = imgs.where(~is_batch)
+    first = corpus.where(F.col("image_id") < 60)
+    rest = corpus.where(F.col("image_id") >= 60)
+    at = TableIO(str(tmp_path / "ph_app"))
+    phash_build_index(first, at)
+    phash_index_append(rest, at)
+    rt = TableIO(str(tmp_path / "ph_reb"))
+    phash_build_index(corpus, rt)
+    ga = at.read(spark).select("id", "ph").toPandas().sort_values(["id", "ph"])
+    gr = rt.read(spark).select("id", "ph").toPandas().sort_values(["id", "ph"])
+    assert list(ga.id) == list(gr.id) and list(ga.ph) == list(gr.ph)
+    batch = imgs.where(is_batch)
+    key = lambda d: sorted(zip(d.id_a, d.id_b, d.hamming))
+    got_a = phash_dedup_table(spark, at, batch).toPandas()
+    got_r = phash_dedup_table(spark, rt, batch).toPandas()
+    assert key(got_a) == key(got_r)
+    assert len(got_a) > 0
+
+
+def test_phash_index_scan_pruned(spark, tmp_path):
+    """Scan pruning on the stored pHash band index, both layouts:
+    single-root prunes via Catalyst PartitionFilters on pb; multi-root
+    (post-append) prunes at the TableIO manifest level (only touched
+    pb= leaf dirs listed), verified via inputFiles()."""
+    import contextlib
+    import io
+
+    from scraper_spark.operators.phash_dedup import (
+        phash_build_index,
+        phash_dedup_table,
+        phash_index_append,
+    )
+    from scraper_spark.sources.tableio import TableIO
+
+    imgs = _ph_corpus(spark)
+    is_batch = F.col("image_id") % 3 == 0
+    t = TableIO(str(tmp_path / "ph_bands"))
+    phash_build_index(imgs.where(~is_batch), t)
+    got = phash_dedup_table(spark, t, imgs.where(is_batch))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        got.explain(True)
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    assert "pb" in plan.split("PartitionFilters", 1)[1][:400]
+    phash_index_append(imgs.where(F.col("image_id") == 0), t)
+    some_pb = int(t.read(spark).select("pb").distinct().limit(1).collect()[0][0])
+    pruned = t.read(spark, partitions={"pb": {some_pb}})
+    files = pruned.inputFiles()
+    assert files and all(f"pb={some_pb}/" in f for f in files)

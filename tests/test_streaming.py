@@ -165,3 +165,65 @@ def test_streaming_ingest_dedup(spark, tmp_path):
     from scraper_spark.operators.dedup import N_MINHASH, BAND_SIZE
 
     assert bands_t.read(spark).count() == len(expected) * (N_MINHASH // BAND_SIZE)
+
+
+def test_streaming_image_ingest_dedup(spark, tmp_path):
+    """Image dedup-at-ingest over three controlled micro-batches:
+    near-dup phashes (Hamming ≤ 3 of an accepted image) are rejected
+    intra-batch (drop the higher id) and against the growing stored
+    band index; accepted images fold in with O(batch) work. Expected
+    accept set is hand-derived from planted bit flips."""
+    import time
+
+    from scraper_spark.sources.tableio import TableIO
+
+    def flip(ph, *bits):
+        for b in bits:
+            ph ^= 1 << b
+        ph &= (1 << 64) - 1
+        return ph - (1 << 64) if ph >= (1 << 63) else ph  # wrap to signed i64
+
+    # one full byte per image: any two base hashes are hamming 16 apart
+    base = [(i, flip(0xFF << (8 * i))) for i in range(8)]
+    b0 = base                                        # all distinct (hamming >= 4 apart)
+    b1 = [
+        (10, flip(base[3][1], 2)),        # hamming 1 of corpus img 3 -> reject
+        (11, (0x1111_2222_3333_4444)),    # fresh -> accept
+        (12, flip(0x1111_2222_3333_4444, 5, 9)),  # hamming 2 of img 11 (same batch) -> reject
+        (13, (0x0F0F_0F0F_0F0F_0F0F)),    # fresh -> accept
+    ]
+    b2 = [
+        (20, flip(base[3][1], 2, 7, 11)), # hamming 3 of corpus img 3 -> reject
+        (21, flip(0x0F0F_0F0F_0F0F_0F0F, 63)),  # hamming 1 of img 13 (accepted b1) -> reject
+        (22, (0x7070_7070_0000_0001)),    # fresh -> accept
+    ]
+    src = tmp_path / "imgs_stream"
+    src.mkdir()
+    schema = "image_id long, phash long"
+    now = time.time()
+    for i, rows in enumerate([b0, b1, b2]):
+        spark.createDataFrame(rows, schema).toPandas().to_parquet(
+            str(src / f"b{i}.parquet"), index=False
+        )
+        os.utime(str(src / f"b{i}.parquet"), (now + 10 * i, now + 10 * i))
+    streamed = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    bands_t = TableIO(str(tmp_path / "ph_bands"))
+    acc_t = TableIO(str(tmp_path / "ph_accepted"))
+    q = ST.streaming_image_ingest_dedup(
+        streamed, bands_t, acc_t, checkpoint=str(tmp_path / "ckpt")
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = acc_t.read(spark).toPandas().sort_values("image_id")
+    expected = sorted([i for i, _ in base] + [11, 13] + [22])
+    assert list(got.image_id) == expected
+    assert set(got.batch_id) == {0, 1, 2}
+    from scraper_spark.operators.phash_dedup import N_BANDS
+
+    assert bands_t.read(spark).count() == len(expected) * N_BANDS
