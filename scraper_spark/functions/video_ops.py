@@ -191,6 +191,102 @@ def decode_audio(data: bytes) -> tuple[np.ndarray, int]:
     return w, sr
 
 
+# 64-bit fingerprint layout: _FP_FRAMES+1 time frames x _FP_BANDS+1
+# frequency bands -> _FP_FRAMES * _FP_BANDS = 64 sign bits
+_FP_FRAMES = 16
+_FP_BANDS = 4
+
+
+def audio_fingerprint64(wave: np.ndarray, sample_rate: int) -> int:
+    """Robust 64-bit audio fingerprint (signed i64, matching the
+    stored LongType): the Haitsma-Kalker construction (published —
+    "A Highly Robust Audio Fingerprinting System", ISMIR 2002) scaled
+    down to one word per clip. The waveform is mono-mixed, split into
+    17 equal time frames, each frame's spectrum (rfft power) is
+    pooled into 5 log-spaced bands, and bit (t, b) is the sign of the
+    band-energy delta's time difference:
+
+        bit(t,b) = [ (E(t+1,b) - E(t+1,b+1)) - (E(t,b) - E(t,b+1)) > 0 ]
+
+    Sign-of-difference bits survive gain changes exactly (energy
+    scaling cancels in the comparison) and low-level noise flips only
+    bits whose margin was already near zero — so near-identical clips
+    land within small Hamming distance and the banded 64-bit dedup
+    machinery (operators/phash_dedup.py — generic over any i64 hash
+    column) applies unchanged. Deterministic: no randomness, float64
+    throughout, ties (== 0) are bit 0. Silence → fingerprint 0.
+
+    The ``sample_rate`` argument pins the analysis band to 0-4 kHz
+    (speech band) when the clip's rate exceeds 8 kHz, so the same
+    recording resampled at a higher rate keeps similar band energies.
+    """
+    w = np.asarray(wave, dtype=np.float64)
+    if w.ndim == 2:
+        w = w.mean(axis=1)
+    if len(w) < (_FP_FRAMES + 1) * 2 or not np.any(w):
+        return 0
+    frames = np.array_split(w, _FP_FRAMES + 1)
+    # per-frame band energies: rfft power pooled into log-spaced bands
+    # within 0..min(nyquist, 4 kHz)
+    energies = np.zeros((_FP_FRAMES + 1, _FP_BANDS + 1))
+    for t, fr in enumerate(frames):
+        spec = np.abs(np.fft.rfft(fr)) ** 2
+        n = len(spec)
+        lim = n
+        if sample_rate > 8_000:
+            lim = max(_FP_BANDS + 2, int(n * 4_000.0 / (sample_rate / 2.0)))
+            lim = min(lim, n)
+        # log-spaced band edges over bins [1, lim) (skip DC)
+        edges = np.unique(
+            np.round(
+                np.logspace(0, np.log10(max(lim - 1, 2)), _FP_BANDS + 2)
+            ).astype(int)
+        )
+        while len(edges) < _FP_BANDS + 2:  # tiny frames: pad edges
+            edges = np.append(edges, edges[-1] + 1)
+        for b in range(_FP_BANDS + 1):
+            lo, hi = edges[b], max(edges[b + 1], edges[b] + 1)
+            energies[t, b] = spec[lo:hi].sum() if lo < n else 0.0
+    fp = 0
+    for t in range(_FP_FRAMES):
+        for b in range(_FP_BANDS):
+            d_next = energies[t + 1, b] - energies[t + 1, b + 1]
+            d_cur = energies[t, b] - energies[t, b + 1]
+            if d_next - d_cur > 0:
+                fp |= 1 << (t * _FP_BANDS + b)
+    return fp - (1 << 64) if fp >= (1 << 63) else fp
+
+
+def audio_fingerprints(
+    audio: DataFrame,
+    id_col: str = "audio_id",
+    bytes_col: str = "abytes",
+) -> DataFrame:
+    """(audio_id, afp) — one 64-bit fingerprint per RIFF/WAVE clip,
+    one Arrow stage, no shuffle. The output column feeds the generic
+    banded-Hamming dedup exactly like image phashes:
+    ``phash_near_dup_pairs(fps, id_col="audio_id", phash_col="afp")``
+    for corpus-wide pairs, ``phash_build_index``/``phash_dedup_table``
+    for incremental batch-vs-corpus dedup, and
+    ``streaming_image_ingest_dedup`` for dedup-at-ingest — the band
+    machinery is generic over any i64 hash column, so audio needs no
+    parallel operator set."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for aid, blob in zip(pdf[id_col], pdf[bytes_col]):
+                if blob is None:
+                    continue
+                wave, sr = decode_audio(bytes(blob))
+                rows.append((aid, audio_fingerprint64(wave, sr)))
+            yield pd.DataFrame(rows, columns=["audio_id", "afp"])
+
+    return audio.mapInPandas(run, "audio_id string, afp long")
+
+
 def _fake_audio_features(blob: bytes) -> tuple[float, float, int]:
     """DETERMINISTIC FAKE features (md5-derived), clearly marked: keeps
     the feature-extraction dataflow testable without a codec. Replaced

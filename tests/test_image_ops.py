@@ -141,3 +141,97 @@ def test_audio_wav_roundtrip_and_features(spark):
     f2 = V.audio_features(opaque, use_fake=True).toPandas().sort_values("audio_id")
     assert (f1.reset_index(drop=True) == f2.reset_index(drop=True)).all().all()
     assert (f1.sample_rate == 16_000).all()
+
+
+def _clip(seed, sr=16_000, secs=2.0):
+    """Speech-like fixture clip: a few slowly-chirping tones, seeded."""
+    import numpy as np
+
+    t = np.arange(int(sr * secs), dtype=np.float64) / sr
+    r = np.random.default_rng(seed)
+    freqs, amps = r.uniform(100, 3500, 6), r.uniform(0.1, 0.5, 6)
+    s = sum(
+        a * np.sin(2 * np.pi * f * t * (1 + 0.1 * np.sin(2 * np.pi * 0.5 * t)))
+        for f, a in zip(freqs, amps)
+    )
+    return s / np.abs(s).max() * 0.8
+
+
+def test_audio_fingerprint_properties():
+    """The 64-bit Haitsma-Kalker-style fingerprint must be (a) exactly
+    gain- and mono-mix-invariant (sign-of-difference bits cancel
+    scaling), (b) near-dup-stable under low-level noise (hamming ≤ 3 —
+    inside the banded dedup's pigeonhole-complete radius), (c) far
+    apart for distinct clips, (d) 0 on silence, (e) deterministic."""
+    import numpy as np
+
+    from scraper_spark.functions.video_ops import audio_fingerprint64
+
+    sr = 16_000
+    base = _clip(1, sr)
+    fp = audio_fingerprint64(base, sr)
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert fp != 0 and fp == audio_fingerprint64(base, sr)
+    assert ham(fp, audio_fingerprint64(0.5 * base, sr)) == 0
+    stereo = np.stack([base, 0.9 * base], axis=1)
+    assert ham(fp, audio_fingerprint64(stereo, sr)) == 0
+    rng = np.random.default_rng(11)
+    noisy = base + rng.normal(0, 0.003, len(base))
+    assert ham(fp, audio_fingerprint64(noisy, sr)) <= 3
+    for seed in range(2, 8):
+        assert ham(fp, audio_fingerprint64(_clip(seed, sr), sr)) > 3
+    assert audio_fingerprint64(np.zeros(100_000), sr) == 0
+
+
+def test_audio_fingerprint_dedup_dataflow(spark, tmp_path):
+    """Audio near-dup dedup end-to-end through the GENERIC banded i64
+    machinery: fingerprints from the Arrow stage feed
+    phash_near_dup_pairs (corpus pairs) and the stored band index
+    (incremental batch-vs-corpus probe) with no audio-specific join
+    code. Planted: a2 is a noisy copy of a0; b0 (the probe batch) is a
+    noisy copy of a1."""
+    import numpy as np
+
+    from scraper_spark.functions import video_ops as V
+    from scraper_spark.operators.phash_dedup import (
+        phash_build_index,
+        phash_dedup_table,
+        phash_near_dup_pairs,
+    )
+    from scraper_spark.sources.tableio import TableIO
+
+    sr = 16_000
+    rng = np.random.default_rng(5)
+    c0, c1, c2 = _clip(1, sr), _clip(2, sr), _clip(3, sr)
+    rows = [
+        ("a0", c0),
+        ("a1", c1),
+        ("a2", c0 + rng.normal(0, 0.003, len(c0))),  # near-dup of a0
+        ("a3", c2),
+    ]
+    df = spark.createDataFrame(
+        [(i, bytearray(V.encode_wav(w, sample_rate=sr))) for i, w in rows],
+        "audio_id string, abytes binary",
+    )
+    fps = V.audio_fingerprints(df)
+    pairs = phash_near_dup_pairs(
+        fps, max_hamming=3, id_col="audio_id", phash_col="afp"
+    ).toPandas()
+    assert sorted(zip(pairs.id_a, pairs.id_b)) == [("a0", "a2")]
+
+    # incremental: corpus index from a0-a3, probe a noisy copy of a1
+    t = TableIO(str(tmp_path / "afp_bands"))
+    phash_build_index(fps, t, id_col="audio_id", phash_col="afp")
+    probe = spark.createDataFrame(
+        [("b0", bytearray(V.encode_wav(
+            c1 + rng.normal(0, 0.003, len(c1)), sample_rate=sr)))],
+        "audio_id string, abytes binary",
+    )
+    hits = phash_dedup_table(
+        spark, t, V.audio_fingerprints(probe),
+        max_hamming=3, id_col="audio_id", phash_col="afp",
+    ).toPandas()
+    assert sorted(zip(hits.id_a, hits.id_b)) == [("a1", "b0")]
