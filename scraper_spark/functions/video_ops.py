@@ -262,15 +262,21 @@ def audio_fingerprints(
     id_col: str = "audio_id",
     bytes_col: str = "abytes",
 ) -> DataFrame:
-    """(audio_id, afp) — one 64-bit fingerprint per RIFF/WAVE clip,
-    one Arrow stage, no shuffle. The output column feeds the generic
-    banded-Hamming dedup exactly like image phashes:
-    ``phash_near_dup_pairs(fps, id_col="audio_id", phash_col="afp")``
-    for corpus-wide pairs, ``phash_build_index``/``phash_dedup_table``
-    for incremental batch-vs-corpus dedup, and
+    """(<id_col>, afp) — one 64-bit fingerprint per RIFF/WAVE clip,
+    one Arrow stage, no shuffle. The id column keeps the input's name
+    AND type (string or integral ids both work), so the output feeds
+    the generic banded-Hamming dedup exactly like image phashes:
+    ``phash_near_dup_pairs(fps, id_col=..., phash_col="afp")`` for
+    corpus-wide pairs, ``phash_build_index``/``phash_dedup_table`` for
+    incremental batch-vs-corpus dedup, and
     ``streaming_image_ingest_dedup`` for dedup-at-ingest — the band
     machinery is generic over any i64 hash column, so audio needs no
     parallel operator set."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        [audio.schema[id_col], StructField("afp", LongType())]
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -282,9 +288,9 @@ def audio_fingerprints(
                     continue
                 wave, sr = decode_audio(bytes(blob))
                 rows.append((aid, audio_fingerprint64(wave, sr)))
-            yield pd.DataFrame(rows, columns=["audio_id", "afp"])
+            yield pd.DataFrame(rows, columns=[id_col, "afp"])
 
-    return audio.mapInPandas(run, "audio_id string, afp long")
+    return audio.mapInPandas(run, out_schema)
 
 
 def _fake_audio_features(blob: bytes) -> tuple[float, float, int]:

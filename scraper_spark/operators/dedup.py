@@ -371,9 +371,14 @@ def minhash_build_index(
 
     Runs once per corpus (then :func:`minhash_index_append` per batch);
     both writes are one explode + one shuffle-free projection over the
-    signature aggregate."""
-    sig = minhash_signatures(docs) if signatures is None else signatures
-    sig = sig.persist()
+    signature aggregate.
+
+    A caller-provided ``signatures`` frame's cache lifecycle stays the
+    CALLER's: persist/unpersist only wrap frames built here, so passing
+    an already-persisted signature frame (the documented reuse pattern)
+    never evicts a cache the caller still needs."""
+    created = signatures is None
+    sig = minhash_signatures(docs).persist() if created else signatures
     try:
         stacked = band_rows(sig).withColumn("bb", _bb_col())
         s1 = bands_table.overwrite(stacked, partition_by=["bb"])
@@ -384,7 +389,8 @@ def minhash_build_index(
             partition_by=["db"],
         )
     finally:
-        sig.unpersist()
+        if created:
+            sig.unpersist()
     return s1, s2
 
 
@@ -394,9 +400,11 @@ def minhash_index_append(
     """Fold a (deduped) batch into the stored index: append its band
     rows and signatures under the same partitioning. O(batch) work —
     the corpus is never rewritten (TableIO append snapshots; its
-    compaction bounds file count over thousands of batches)."""
-    sig = minhash_signatures(new_docs) if signatures is None else signatures
-    sig = sig.persist()
+    compaction bounds file count over thousands of batches). Same
+    cache contract as :func:`minhash_build_index`: a caller-provided
+    ``signatures`` frame is never persisted or unpersisted here."""
+    created = signatures is None
+    sig = minhash_signatures(new_docs).persist() if created else signatures
     try:
         stacked = band_rows(sig).withColumn("bb", _bb_col())
         s1 = bands_table.append(stacked, partition_by=["bb"])
@@ -407,7 +415,8 @@ def minhash_index_append(
             partition_by=["db"],
         )
     finally:
-        sig.unpersist()
+        if created:
+            sig.unpersist()
     return s1, s2
 
 
@@ -417,6 +426,7 @@ def lsh_dedup_table(
     sigs_table,
     new_docs: DataFrame,
     min_jaccard: float = MIN_JACCARD,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicates of a NEW-document batch against the STORED
     corpus index: (doc_a = corpus doc, doc_b = new doc, jaccard_est) —
@@ -424,7 +434,11 @@ def lsh_dedup_table(
     instead of re-running the O(corpus²-band) self-join per batch.
     Batch-internal duplicates are out of scope by contract (run
     :func:`lsh_candidate_pairs` on the batch for those — it is
-    O(batch) here).
+    O(batch) here). A batch doc_id already present in the index
+    matches its stored self (jaccard 1.0) and IS reported — same
+    semantic as the image twin (``phash_dedup_table``): replayed
+    micro-batches drop as dups of their stored selves, keeping
+    at-least-once ingest idempotent.
 
     Scan pruning, same pattern as the batched ANN probes: the batch's
     distinct band buckets (≤ N_BAND_BUCKETS ints, bounded collect over
@@ -432,13 +446,25 @@ def lsh_dedup_table(
     candidates' distinct doc buckets (≤ N_SIG_BUCKETS ints, bounded
     collect over the persisted candidate frame) prune the
     signature-table verify scan. Both collects are O(1)-bounded by
-    construction; sparse batches read a handful of index files."""
-    nsig = minhash_signatures(new_docs).persist()
+    construction; sparse batches read a handful of index files.
+
+    ``signatures`` — optional precomputed ``minhash_signatures(new_docs)``
+    frame (ideally already persisted): skips recomputing the dominant
+    explode+md5 stage when the caller also needs the signatures for an
+    intra-batch pass or the index fold (the streaming ingest path)."""
+    nsig = (
+        minhash_signatures(new_docs).persist()
+        if signatures is None
+        else signatures
+    )
     nbands = band_rows(nsig).withColumn("bb", _bb_col()).persist()
     # same lifecycle as lsh_candidate_pairs' signature frame: released
     # on this thread's next materialized call or eagerly via
-    # release_signature_cache() once the result is written/collected
-    _thread_sig_caches().extend([nsig, nbands])
+    # release_signature_cache() once the result is written/collected.
+    # A caller-provided signatures frame stays the caller's to manage.
+    if signatures is None:
+        _thread_sig_caches().append(nsig)
+    _thread_sig_caches().append(nbands)
     touched_bb = {int(r["bb"]) for r in nbands.select("bb").distinct().collect()}
     corpus_bands = bands_table.read(spark, partitions={"bb": touched_bb})
     cand = (

@@ -80,6 +80,11 @@ def enrich_paginated(
     pages: list[DataFrame] = []
     page_caches: list[DataFrame] = []
     if counts is not None:
+        # a superset counts table is a natural input: keys never
+        # requested are never fetched — restrict ONCE at the source so
+        # an unrequested hot key can neither inflate n_pages (wasted
+        # empty fetch rounds) nor ride every page's liveness filter
+        counts = counts.join(requests.select(key).distinct(), key, "left_semi")
         # one bounded scalar action: the global page count
         row = counts.agg(
             F.max(F.ceil(F.col("n_results") / F.lit(page_size))).alias("p")
@@ -146,10 +151,9 @@ def enrich_paginated(
                     F.lit(int(max_pages) * int(page_size)).cast("long"),
                 ).alias("_exp"),
             )
-            # a superset counts table is a natural input: keys never
-            # requested are never fetched, so restrict the expected
-            # domain to the requests' keys before comparing (ADVICE r04)
-            .join(requests.select(key).distinct(), key, "left_semi")
+            # counts is already restricted to the requests' keys at
+            # the top of counts mode (ADVICE r04), so the expected
+            # domain matches the fetchable domain by construction
         )
         drift = (
             actual.join(expected, key, "full")

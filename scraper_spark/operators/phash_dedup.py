@@ -155,6 +155,13 @@ def phash_dedup_table(
     equi-join). Batch-internal duplicates are out of scope by contract
     (run :func:`phash_near_dup_pairs` on the batch — O(batch) here).
 
+    A batch id already present in the index matches its stored self at
+    hamming 0 and IS reported — the same semantic as the text twin
+    (``lsh_dedup_table``), deliberately: a replayed micro-batch then
+    drops its rows as dups of their stored selves instead of
+    re-appending duplicate index entries (idempotent at-least-once
+    ingest).
+
     Scan pruning: the batch's distinct ``pb`` buckets (≤ N_PB_BUCKETS
     ints — a bounded collect; batch band rows are cheap arithmetic, so
     they are simply recomputed for the join rather than cached) prune
@@ -181,7 +188,6 @@ def phash_dedup_table(
             ),
             ["band_idx", "band16"],
         )
-        .where(F.col("id_a") != F.col("id_b"))
         .select("id_a", "id_b", "ph_a", "ph_b")
         .dropDuplicates(["id_a", "id_b"])
     )

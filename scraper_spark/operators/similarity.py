@@ -560,6 +560,31 @@ def ivf_topk(
     )
 
 
+def _ivf_centroids_sidecar(table):
+    """The lists table's centroid sidecar: a k×dim (cid, cvec) TableIO
+    next to the lists root. Written once at build, it makes every
+    later centroid fetch (appends, point probes, batched probes) a
+    k-row read instead of a vec_id filter over the FULL corpus scan —
+    the difference between O(batch) and O(corpus) per ingest batch."""
+    from scraper_spark.sources.tableio import TableIO
+
+    return TableIO(table.root.rstrip("/") + "_centroids")
+
+
+def _ivf_stored_centroids(spark, table, k_centroids: int) -> DataFrame:
+    """(cid, cvec) frame for a stored lists table: the sidecar when
+    present (k-row read), else the legacy pinned-vec_id filter over the
+    lists themselves (pre-sidecar indexes — correct but O(corpus))."""
+    side = _ivf_centroids_sidecar(table)
+    if side.exists():
+        return side.read(spark)
+    return (
+        table.read(spark)
+        .where(F.col("vec_id") < k_centroids)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+    )
+
+
 def ivf_build_lists(
     embeddings: DataFrame,
     table,
@@ -574,9 +599,24 @@ def ivf_build_lists(
     At 10^9 vectors this runs once per corpus (re-run or appended on
     ingest); queries then pay O(corpus × nprobe / k_centroids) I/O
     instead of a full scan + inline re-assignment. Returns the
-    committed snapshot id."""
-    assign = ivf_assign(embeddings, k_centroids, centroids=centroids)
-    return table.overwrite(assign, partition_by=["cid"])
+    committed snapshot id.
+
+    The quantization's centroids (pinned default or caller-provided)
+    are also written to a k×dim sidecar table so appends and probes
+    never re-derive them from the corpus (:func:`_ivf_centroids_sidecar`)."""
+    cents = centroids
+    if cents is None:
+        # same dtype as ivf_assign's pinned default (cid = vec_id,
+        # uncast) so the sidecar changes nothing about the quantization
+        cents = embeddings.where(F.col("vec_id") < k_centroids).select(
+            F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+        )
+    sid = table.overwrite(
+        ivf_assign(embeddings, k_centroids, centroids=cents),
+        partition_by=["cid"],
+    )
+    _ivf_centroids_sidecar(table).overwrite(cents.select("cid", "cvec"))
+    return sid
 
 
 def ivf_append_lists(
@@ -594,19 +634,17 @@ def ivf_append_lists(
 
     Unlike sign-LSH, IVF assignment depends on corpus-derived
     parameters, so the batch must NOT derive centroids from itself: in
-    the default pinned mode the first-``k_centroids`` vec_ids are read
-    from the STORED lists (the vectors the build used), and production
-    passes the same persisted :func:`kmeans_centroids` table it built
-    with. Append-vs-rebuild identity then holds exactly (test-pinned);
-    drifted centroids (a re-trained kmeans) require a rebuild, which is
-    the correct semantics — the lists ARE the quantization."""
+    the default pinned mode the index's own centroids are read from
+    the k-row sidecar the build wrote (falling back to the legacy
+    pinned-vec_id filter over the lists for pre-sidecar indexes), and
+    production passes the same persisted :func:`kmeans_centroids`
+    table it built with. Append-vs-rebuild identity then holds exactly
+    (test-pinned); drifted centroids (a re-trained kmeans) require a
+    rebuild, which is the correct semantics — the lists ARE the
+    quantization."""
     cents = centroids
     if cents is None:
-        cents = (
-            table.read(spark)
-            .where(F.col("vec_id") < k_centroids)
-            .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
-        )
+        cents = _ivf_stored_centroids(spark, table, k_centroids)
     assign = ivf_assign(new_embeddings, k_centroids, centroids=cents)
     return table.append(assign, partition_by=["cid"])
 
@@ -643,19 +681,13 @@ def ivf_topk_from_lists(
     probed cids are LITERALS in the scan filter — that is what turns
     the probe into static partition pruning on the cid-partitioned
     table instead of a runtime semi-join over a full scan. ``centroids``
-    defaults to the pinned first-``k_centroids`` vec_ids read from the
-    lists themselves (the oracle-parity mode); production passes the
-    stored :func:`kmeans_centroids` table."""
-    if centroids is not None:
-        cent_rows = [(r["cid"], r["cvec"]) for r in centroids.collect()]
-    else:
-        cent_rows = [
-            (int(r["vec_id"]), r["embedding"])
-            for r in table.read(spark)
-            .where(F.col("vec_id") < k_centroids)
-            .select("vec_id", "embedding")
-            .collect()
-        ]
+    defaults to the index's own centroids from the k-row sidecar the
+    build wrote (legacy pinned-vec_id lists filter for pre-sidecar
+    indexes); production passes the stored :func:`kmeans_centroids`
+    table."""
+    if centroids is None:
+        centroids = _ivf_stored_centroids(spark, table, k_centroids)
+    cent_rows = [(int(r["cid"]), r["cvec"]) for r in centroids.collect()]
     ranked = sorted(
         cent_rows, key=lambda c: (-_seq_cosine(c[1], qvec), c[0])
     )
@@ -709,12 +741,7 @@ def ivf_topk_table(
     """
     cents = centroids
     if cents is None:
-        cents = (
-            table.read(spark)
-            .where(F.col("vec_id") < k_centroids)
-            .select(F.col("vec_id").cast("int").alias("cid"),
-                    F.col("embedding").alias("cvec"))
-        )
+        cents = _ivf_stored_centroids(spark, table, k_centroids)
     q = queries.select(
         F.col(qid_col).alias("qid"), F.col(qvec_col).alias("qvec")
     )

@@ -163,32 +163,47 @@ def streaming_ingest_dedup(
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         batch = batch_df.persist()
+        # the signature aggregate (explode+md5 — the dominant dedup
+        # cost) is computed ONCE per micro-batch and shared by all
+        # three consumers via their signatures= parameter: intra-batch
+        # pairs, the cross-corpus probe, and the index fold
+        sig = D.minhash_signatures(batch).persist()
         try:
             if batch.isEmpty():
                 return
-            intra = D.lsh_candidate_pairs(batch, min_jaccard=mj)
+            intra = D.lsh_candidate_pairs(batch, min_jaccard=mj, signatures=sig)
             drop_intra = intra.select(F.col("doc_b").alias("doc_id")).distinct()
             survivors = batch.join(drop_intra, "doc_id", "left_anti")
+            surv_sig = sig.join(survivors.select("doc_id"), "doc_id", "left_semi")
             if bands_table.exists():
                 hits = D.lsh_dedup_table(
-                    spark, bands_table, sigs_table, survivors, min_jaccard=mj
+                    spark, bands_table, sigs_table, survivors,
+                    min_jaccard=mj, signatures=surv_sig,
                 )
                 drop_corpus = hits.select(F.col("doc_b").alias("doc_id")).distinct()
                 accepted = survivors.join(drop_corpus, "doc_id", "left_anti").persist()
                 accepted_table.append(
                     accepted.withColumn("batch_id", F.lit(batch_id))
                 )
-                D.minhash_index_append(accepted, bands_table, sigs_table)
+                D.minhash_index_append(
+                    accepted, bands_table, sigs_table,
+                    signatures=sig.join(
+                        accepted.select("doc_id"), "doc_id", "left_semi"
+                    ),
+                )
                 accepted.unpersist()
             else:
                 accepted = survivors.persist()
                 accepted_table.append(
                     accepted.withColumn("batch_id", F.lit(batch_id))
                 )
-                D.minhash_build_index(accepted, bands_table, sigs_table)
+                D.minhash_build_index(
+                    accepted, bands_table, sigs_table, signatures=surv_sig
+                )
                 accepted.unpersist()
         finally:
             D.release_signature_cache()
+            sig.unpersist()
             batch.unpersist()
 
     writer = stream_docs.writeStream.foreachBatch(_process)

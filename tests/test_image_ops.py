@@ -235,3 +235,26 @@ def test_audio_fingerprint_dedup_dataflow(spark, tmp_path):
         max_hamming=3, id_col="audio_id", phash_col="afp",
     ).toPandas()
     assert sorted(zip(hits.id_a, hits.id_b)) == [("a1", "b0")]
+
+
+def test_audio_fingerprints_preserves_id_name_and_type(spark):
+    """The fingerprint stage's id column keeps the INPUT's name and
+    type (the banded dedup machinery is fed ids of either string or
+    integral type — hardcoding 'audio_id string' would crash on long
+    ids and silently rename custom columns)."""
+    import numpy as np
+
+    from scraper_spark.functions import video_ops as V
+
+    sr = 16_000
+    w = _clip(4, sr)
+    df = spark.createDataFrame(
+        [(7, bytearray(V.encode_wav(w, sample_rate=sr))),
+         (8, bytearray(V.encode_wav(0.5 * w, sample_rate=sr)))],
+        "clip_id long, abytes binary",
+    )
+    out = V.audio_fingerprints(df, id_col="clip_id")
+    assert out.schema["clip_id"].dataType.simpleString() == "bigint"
+    got = out.toPandas().sort_values("clip_id")
+    assert list(got.clip_id) == [7, 8]
+    assert got.afp.iloc[0] == got.afp.iloc[1] != 0  # gain-invariant

@@ -268,6 +268,26 @@ def test_enrich_paginated_loop_and_outer(spark):
     ).toPandas()
     assert len(out4) == len(out2)
 
+    # ...and an unrequested HOT key must not inflate the page loop
+    # either: n_pages derives from the requested keys only, so a
+    # superset key reporting 1000 results adds zero fetch rounds
+    # (requested max is 7 results → ceil(7/3) = 3 pages, not 5)
+    calls = []
+
+    def counting_fetch(active, page):
+        calls.append(page)
+        return fetch_page(active, page)
+
+    hot_superset = counts.unionByName(
+        spark.createDataFrame([(99, 1000)], "key int, n_results long")
+    )
+    out5 = enrich_paginated(
+        requests, counting_fetch, "key", ps, max_pages=5,
+        counts=hot_superset, validate=True,
+    ).toPandas()
+    assert len(out5) == len(out2)
+    assert calls == [0, 1, 2]
+
 
 def test_auto_sign_bits_bounds():
     from scraper_spark.operators.similarity import auto_sign_bits
@@ -1001,3 +1021,113 @@ def test_phash_index_scan_pruned(spark, tmp_path):
     pruned = t.read(spark, partitions={"pb": {some_pb}})
     files = pruned.inputFiles()
     assert files and all(f"pb={some_pb}/" in f for f in files)
+
+
+# ------------------------------------------- review-fix regressions ----
+
+
+def test_dedup_table_replay_self_match_both_twins(spark, tmp_path):
+    """Both batch-vs-stored-corpus twins share the replay semantic: a
+    batch id already present in the index matches its stored self
+    (jaccard 1.0 / hamming 0) and is reported, so a replayed
+    micro-batch drops as dups of its stored selves instead of
+    re-appending duplicate index entries (idempotent at-least-once
+    ingest)."""
+    from scraper_spark.operators.dedup import (
+        lsh_dedup_table,
+        minhash_build_index,
+        release_signature_cache,
+    )
+    from scraper_spark.operators.phash_dedup import (
+        phash_build_index,
+        phash_dedup_table,
+    )
+    from scraper_spark.sources.tableio import TableIO
+
+    docs = _incr_docs(spark)
+    bt, st = TableIO(str(tmp_path / "rb")), TableIO(str(tmp_path / "rs"))
+    minhash_build_index(docs, bt, st)
+    replay = docs.where(F.col("doc_id").isin([5, 6]))
+    hits = lsh_dedup_table(spark, bt, st, replay).toPandas()
+    self_hits = hits[hits.doc_a == hits.doc_b]
+    assert sorted(self_hits.doc_a) == [5, 6]
+    assert (self_hits.jaccard_est == 1.0).all()
+    release_signature_cache()
+
+    imgs = _ph_corpus(spark)
+    t = TableIO(str(tmp_path / "rp"))
+    phash_build_index(imgs, t)
+    rbatch = imgs.where(F.col("image_id").isin([7, 8]))
+    ph = phash_dedup_table(spark, t, rbatch).toPandas()
+    ph_self = ph[ph.id_a == ph.id_b]
+    assert sorted(ph_self.id_a) == [7, 8]
+    assert (ph_self.hamming == 0).all()
+
+
+def test_ivf_centroid_sidecar(spark, tmp_path):
+    """ivf_build_lists writes the k-row centroid sidecar; pinned-mode
+    appends and probes read it (O(k), not an O(corpus) vec_id filter),
+    and pre-sidecar indexes still work via the legacy fallback with
+    identical results."""
+    import shutil
+
+    from scraper_spark.operators.similarity import (
+        _ivf_centroids_sidecar,
+        ivf_append_lists,
+        ivf_build_lists,
+        ivf_topk_from_lists,
+    )
+    from scraper_spark.sources.tableio import TableIO
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.where(F.col("vec_id") < 80)
+    batch = emb.where((F.col("vec_id") >= 80) & (F.col("vec_id") < 100))
+    t = TableIO(str(tmp_path / "lists"))
+    ivf_build_lists(base, t, k_centroids=8)
+    side = _ivf_centroids_sidecar(t)
+    assert side.exists()
+    cents = side.read(spark).toPandas()
+    assert sorted(cents.cid) == list(range(8))
+    qvec = emb.where(F.col("vec_id") == 1).first()["embedding"]
+    got_side = ivf_topk_from_lists(
+        spark, t, qvec, k=5, k_centroids=8, nprobe=2, exclude_vec_id=1
+    ).toPandas()
+    # legacy fallback: same index without its sidecar answers identically
+    t2 = TableIO(str(tmp_path / "lists2"))
+    ivf_build_lists(base, t2, k_centroids=8)
+    shutil.rmtree(_ivf_centroids_sidecar(t2).root)
+    ivf_append_lists(spark, t2, batch, k_centroids=8)  # legacy centroid read
+    ivf_append_lists(spark, t, batch, k_centroids=8)   # sidecar centroid read
+    got_legacy = ivf_topk_from_lists(
+        spark, t2, qvec, k=5, k_centroids=8, nprobe=2, exclude_vec_id=1
+    ).toPandas()
+    got_after = ivf_topk_from_lists(
+        spark, t, qvec, k=5, k_centroids=8, nprobe=2, exclude_vec_id=1
+    ).toPandas()
+    key = lambda d: sorted(zip(d.vec_id, d.cosine))
+    assert key(got_after) == key(got_legacy)
+    assert len(got_side) == 5 and len(got_after) == 5
+
+
+def test_minhash_index_keeps_caller_signature_cache(spark, tmp_path):
+    """A caller-provided signatures= frame's cache belongs to the
+    caller: minhash_build_index/minhash_index_append must not evict it
+    (the streaming ingest path shares ONE persisted signature frame
+    across three consumers)."""
+    from scraper_spark.operators.dedup import (
+        minhash_build_index,
+        minhash_index_append,
+        minhash_signatures,
+    )
+    from scraper_spark.sources.tableio import TableIO
+
+    docs = _incr_docs(spark)
+    sig = minhash_signatures(docs).persist()
+    try:
+        bt, st = TableIO(str(tmp_path / "cb")), TableIO(str(tmp_path / "cs"))
+        minhash_build_index(docs, bt, st, signatures=sig)
+        assert sig.is_cached
+        minhash_index_append(docs.limit(0), bt, st, signatures=sig.limit(0))
+        assert sig.is_cached
+    finally:
+        sig.unpersist()

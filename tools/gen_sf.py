@@ -62,9 +62,16 @@ def family_bases(src: str) -> dict[str, int]:
         path = os.path.join(src, fname)
         if not os.path.exists(path):
             continue
-        t = pq.read_table(path, columns=None)
+        # read ONLY the key columns present in the file (skipping e.g.
+        # documents' full text payload, which the scale pass reads once
+        # anyway) — the schema probe is a footer read
+        present = set(pq.read_schema(path).names)
+        want = [col for col, _ in cols if col in present]
+        if not want:
+            continue
+        t = pq.read_table(path, columns=want)
         for col, fam in cols:
-            if col in t.column_names:
+            if col in want:
                 m = int(pc.max(t.column(col)).as_py())
                 maxima[fam] = max(maxima.get(fam, -1), m)
     return {fam: m + 1 for fam, m in maxima.items()}
