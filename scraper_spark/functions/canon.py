@@ -40,17 +40,26 @@ def canonicalize_url(url: str) -> str:
         return url
     scheme = parts.scheme.lower()
     host = (parts.hostname or "").lower()
-    netloc = host
+    # urlsplit strips IPv6 brackets from .hostname; restore them, else
+    # the rebuilt netloc is invalid and host identity collapses to the
+    # text before the first colon
+    host_part = f"[{host}]" if ":" in host else host
+    netloc = host_part
     port = None
+    malformed_port = False
     try:
         port = parts.port
     except ValueError:
-        # malformed port — keep the raw netloc lowercased
+        # malformed port — keep the raw netloc lowercased. It already
+        # contains any userinfo, so the username branch below must NOT
+        # run (prepending credentials again would double them on every
+        # pass and break idempotence).
         netloc = parts.netloc.lower()
+        malformed_port = True
         port = None
     if port is not None and port != _DEFAULT_PORTS.get(scheme):
-        netloc = f"{host}:{port}"
-    if parts.username:
+        netloc = f"{host_part}:{port}"
+    if parts.username and not malformed_port:
         cred = parts.username + (f":{parts.password}" if parts.password else "")
         netloc = f"{cred}@{netloc}"
     path = parts.path or "/"

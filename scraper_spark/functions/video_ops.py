@@ -307,11 +307,28 @@ def audio_features(
     bytes_col: str = "abytes",
     use_fake: bool = False,
 ) -> DataFrame:
-    """(audio_id, duration_s, rms, sample_rate) per clip. The default
-    path REALLY decodes (RIFF/WAVE PCM via decode_audio); pass
-    ``use_fake=True`` for opaque non-WAV fixture payloads — that path
-    substitutes the clearly-marked md5-derived fake so the dataflow
-    shape stays testable without a compressed-codec library."""
+    """(<id_col>, duration_s, rms, sample_rate) per clip — the id
+    column keeps the input's name and type, like
+    :func:`audio_fingerprints`. The default path REALLY decodes
+    (RIFF/WAVE PCM via decode_audio); pass ``use_fake=True`` for opaque
+    non-WAV fixture payloads — that path substitutes the clearly-marked
+    md5-derived fake so the dataflow shape stays testable without a
+    compressed-codec library."""
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            audio.schema[id_col],
+            StructField("duration_s", DoubleType()),
+            StructField("rms", DoubleType()),
+            StructField("sample_rate", IntegerType()),
+        ]
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -334,9 +351,7 @@ def audio_features(
                     )
                 rows.append((aid, dur, rms, sr))
             yield pd.DataFrame(
-                rows, columns=["audio_id", "duration_s", "rms", "sample_rate"]
+                rows, columns=[id_col, "duration_s", "rms", "sample_rate"]
             )
 
-    return audio.mapInPandas(
-        run, "audio_id string, duration_s double, rms double, sample_rate int"
-    )
+    return audio.mapInPandas(run, out_schema)

@@ -375,15 +375,49 @@ class CrawlEngine:
             (h, [(p, bool(a)) for p, a in rs])
             for h, rs in sorted(self.pol.robots_rules.items())
         ]
-        self.t_tokens.overwrite(
-            spark.createDataFrame(tokens_pdf, "host string, tokens int")
-        )
-        self.t_robots.overwrite(
-            spark.createDataFrame(
-                rules_rows,
-                "host string, rules array<struct<p:string,allow:boolean>>",
+        # dims are pure config projections, so (a) skip the two Spark
+        # write jobs when the config is unchanged (fingerprint file —
+        # every re-construction on a long-lived work dir would
+        # otherwise pay them), and (b) expire superseded snapshots
+        # right after an overwrite: dims are outside _tables (they are
+        # config, not crash-covered crawl STATE, so no rollback ever
+        # reads an old dim snapshot) and would otherwise accrete one
+        # orphaned snapshot dir per construction forever.
+        from scraper_spark.functions.hashes import md5_long
+
+        dim_fp = str(
+            md5_long(
+                json.dumps(
+                    [sorted(self.pol.host_tokens.items()), rules_rows],
+                    sort_keys=True,
+                )
             )
         )
+        fp_path = os.path.join(work_dir, "dim_fingerprint.json")
+        stored_fp = None
+        if os.path.exists(fp_path):
+            with open(fp_path) as f:
+                stored_fp = json.load(f).get("fp")
+        if not (
+            stored_fp == dim_fp
+            and self.t_tokens.exists()
+            and self.t_robots.exists()
+        ):
+            self.t_tokens.overwrite(
+                spark.createDataFrame(tokens_pdf, "host string, tokens int")
+            )
+            self.t_robots.overwrite(
+                spark.createDataFrame(
+                    rules_rows,
+                    "host string, rules array<struct<p:string,allow:boolean>>",
+                )
+            )
+            self.t_tokens.expire_snapshots(self.t_tokens.current_snapshot_id())
+            self.t_robots.expire_snapshots(self.t_robots.current_snapshot_id())
+            tmp_fp = fp_path + ".tmp"
+            with open(tmp_fp, "w") as f:
+                json.dump({"fp": dim_fp}, f)
+            os.replace(tmp_fp, fp_path)
         self.tokens_df = self.t_tokens.read(spark)
         self.robots_df = self.t_robots.read(spark)
         # broadcast the dims only while they FIT (footer row count — no

@@ -59,7 +59,10 @@ def crawl(
     seeds.parquet, politeness.json)."""
     store_df = pd.read_parquet(
         os.path.join(fixture_dir, "page_store.parquet"),
-        columns=["canon_url", "status", "links", "image_id", "caption", "kind"],
+        # only the columns the oracle consumes: requiring extras (e.g.
+        # 'kind') would crash on corpora that predate them while the
+        # engine's store reader treats optional columns as optional
+        columns=["canon_url", "status", "links", "image_id", "caption"],
     )
     store = {
         r.canon_url: r for r in store_df.itertuples(index=False)

@@ -25,7 +25,11 @@ import pyarrow.parquet as pq
 
 from pyspark.sql import DataFrame
 
-from scraper_spark.plans.spec import STATUS_MISSING, STATUS_OK, STATUS_TRANSIENT
+from scraper_spark.plans.spec import (
+    STATUS_MISSING,
+    STATUS_TRANSIENT,
+    effective_status,
+)
 
 # per-executor-process cache: one loaded store per path (session reuse)
 _STORE_CACHE: dict[str, dict] = {}
@@ -46,6 +50,15 @@ class _ArrowStore:
         if with_attrs:
             cols.append("attrs")
         t = pq.read_table(path, columns=cols).combine_chunks()
+        if t.num_rows == 0:
+            # zero-row store: combine_chunks() yields zero chunks, so
+            # chunk(0) would raise; an empty index means the column
+            # handles are never dereferenced — every lookup is a clean
+            # STATUS_MISSING
+            self.status = self.links = self.image_id = None
+            self.caption = self.attrs = None
+            self.index: dict = {}
+            return
         self.status = t.column("status").chunk(0)
         self.links = t.column("links").chunk(0)
         self.image_id = t.column("image_id").chunk(0)
@@ -86,15 +99,19 @@ class ParquetPageStoreClient:
                 caption.append(None)
                 attrs.append(None)
                 continue
-            s = store.status[j].as_py()
-            if s == STATUS_TRANSIENT and att == 0:
+            # the transient-retry rule comes from plans/spec.py — the
+            # single source of crawl semantics (CLAUDE.md invariant);
+            # hand-rolling the branch here would silently desync the
+            # engine's fetch from the oracle on any future model change
+            eff = effective_status(store.status[j].as_py(), int(att))
+            if eff == STATUS_TRANSIENT:
                 status[i] = STATUS_TRANSIENT
                 links.append(None)
                 image_id.append(None)
                 caption.append(None)
                 attrs.append(None)
                 continue
-            status[i] = STATUS_OK if s == STATUS_TRANSIENT else s
+            status[i] = eff
             lv = store.links[j].as_py()
             links.append(lv if lv is not None else None)
             image_id.append(store.image_id[j].as_py())

@@ -68,7 +68,12 @@ class TableIO:
     def _write(self, df: DataFrame, op: str, partition_by: list[str] | None) -> int:
         m = self._load()
         sid = (m["snapshots"][-1]["id"] + 1) if m["snapshots"] else 1
-        rel = f"data/s{sid:06d}"
+        # dir prefix encodes the op (append s / overwrite o / compact c)
+        # so an append-only TAILER (streaming file source) can glob
+        # data/s* and never re-deliver rows that compaction or a
+        # promote-overwrite merely rewrote — readers are prefix-agnostic
+        # (they resolve dirs from the manifest)
+        rel = f"data/{'o' if op == 'overwrite' else 's'}{sid:06d}"
         out = os.path.join(self.root, rel)
         w = df.write.mode("overwrite")
         if partition_by:
@@ -273,18 +278,35 @@ class TableIO:
     # table state — same atomicity, same reader semantics, O(table) I/O
     # (exactly what a non-merge-on-read Iceberg DELETE/UPDATE/MERGE costs).
     def delete_where(self, spark: SparkSession, cond) -> int:
-        """DELETE FROM t WHERE cond (reference: handlers/db.py:160-169)."""
-        cur = self.read(spark)
-        return self.overwrite(cur.where(~cond))
+        """DELETE FROM t WHERE cond (reference: handlers/db.py:160-169).
 
-    def update_set(self, spark: SparkSession, cond, assignments: dict) -> int:
-        """UPDATE t SET col=expr WHERE cond (handlers/db.py:254-276)."""
+        SQL DELETE semantics exactly: only rows where ``cond`` is TRUE
+        go — a NULL condition (e.g. ``col < 0`` on a NULL col) KEEPS
+        the row, same as the DuckDB twin (``~cond`` alone would drop
+        NULL-condition rows, since three-valued NOT NULL is NULL)."""
         from pyspark.sql import functions as F
 
         cur = self.read(spark)
-        out = cur
-        for col, expr in assignments.items():
-            out = out.withColumn(col, F.when(cond, expr).otherwise(F.col(col)))
+        return self.overwrite(cur.where(~cond | F.isnull(cond)))
+
+    def update_set(self, spark: SparkSession, cond, assignments: dict) -> int:
+        """UPDATE t SET col=expr WHERE cond (handlers/db.py:254-276).
+
+        SQL UPDATE semantics exactly: every assignment expression AND
+        the condition evaluate against the PRE-update row (one select
+        over the input frame), so ``SET a=b, b=a`` swaps — sequential
+        withColumn would feed later assignments post-update values."""
+        from pyspark.sql import functions as F
+
+        cur = self.read(spark)
+        out = cur.select(
+            *[
+                F.when(cond, assignments[c]).otherwise(F.col(c)).alias(c)
+                if c in assignments
+                else F.col(c)
+                for c in cur.columns
+            ]
+        )
         return self.overwrite(out)
 
     def merge_upsert(self, spark: SparkSession, incoming: DataFrame, key: str) -> int:
@@ -337,7 +359,7 @@ class TableIO:
             return None
         m = self._load()
         sid = (m["snapshots"][-1]["id"] + 1) if m["snapshots"] else 1
-        rel = f"data/s{sid:06d}"
+        rel = f"data/c{sid:06d}"  # 'c' prefix: invisible to the s*-glob tailer
         out = os.path.join(self.root, rel)
         w = df.write.mode("overwrite")
         if partition_by:

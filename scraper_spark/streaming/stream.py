@@ -43,21 +43,35 @@ from scraper_spark.plans.frontier import LOG_SCHEMA
 
 
 def tail_crawl_log(spark: SparkSession, work_dir: str) -> DataFrame:
-    """Streaming source over committed crawl_log snapshots.
+    """Streaming source over committed crawl_log APPEND snapshots.
 
     New snapshot dirs appear atomically (TableIO manifest commit), so a
-    file-based stream sees only whole rounds. maxFilesPerTrigger keeps
-    micro-batches bounded when catching up. recursiveFileLookup
-    descends the hive ``url_bucket=N`` layout but deliberately skips
-    partition inference, so the tailed ``url_bucket`` column is null —
-    the monitoring consumers here key on round/status/seq only; a
-    consumer needing the bucket recomputes it from canon_url
-    (one md5, the same expression the writer used)."""
-    path = os.path.join(work_dir, "crawl_log", "data")
+    file-based stream sees only whole rounds. The path globs ``s*``
+    dirs only — TableIO prefixes append dirs ``s``, compact piles ``c``
+    and overwrites ``o`` — so log maintenance (compact_appends merging
+    already-streamed rounds, or the size-parity promote-overwrite)
+    rewrites rows WITHOUT the tailer re-delivering them: every log row
+    is delivered exactly once, from the append snapshot that first
+    carried it. ``ignoreMissingFiles`` covers the complementary
+    hazard — expire_snapshots physically dropping a compacted append
+    dir mid-stream would otherwise fail the micro-batch. Caveat: a
+    tailer that starts (or lags) more than a compaction window behind
+    the crawl can therefore miss rows whose append dirs were already
+    expired — historical rows belong to batch reads of the table
+    (which see the compact piles); the tailer contract is the LIVE
+    tail. maxFilesPerTrigger keeps micro-batches
+    bounded when catching up. recursiveFileLookup descends the hive
+    ``url_bucket=N`` layout but deliberately skips partition inference,
+    so the tailed ``url_bucket`` column is null — the monitoring
+    consumers here key on round/status/seq only; a consumer needing the
+    bucket recomputes it from canon_url (one md5, the same expression
+    the writer used)."""
+    path = os.path.join(work_dir, "crawl_log", "data", "s*")
     return (
         spark.readStream.schema(LOG_SCHEMA)
         .option("maxFilesPerTrigger", 64)
         .option("recursiveFileLookup", "true")
+        .option("ignoreMissingFiles", "true")
         .parquet(path)
     )
 
@@ -249,6 +263,7 @@ def streaming_image_ingest_dedup(
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         batch = batch_df.persist()
+        survivors = None
         try:
             if batch.isEmpty():
                 return
@@ -256,7 +271,10 @@ def streaming_image_ingest_dedup(
                 batch, max_hamming=mh, id_col=id_col, phash_col=phash_col
             )
             drop_intra = intra.select(F.col("id_b").alias(id_col)).distinct()
-            survivors = batch.join(drop_intra, id_col, "left_anti")
+            # persist: survivors feeds the touched-bucket collect, the
+            # corpus-probe join, and the accepted anti-join — without a
+            # pin each action re-runs the intra-batch band self-join
+            survivors = batch.join(drop_intra, id_col, "left_anti").persist()
             if bands_table.exists():
                 hits = P.phash_dedup_table(
                     spark, bands_table, survivors,
@@ -274,15 +292,16 @@ def streaming_image_ingest_dedup(
                 )
                 accepted.unpersist()
             else:
-                accepted = survivors.persist()
+                accepted = survivors  # already persisted above
                 accepted_table.append(
                     accepted.withColumn("batch_id", F.lit(batch_id))
                 )
                 P.phash_build_index(
                     accepted, bands_table, id_col=id_col, phash_col=phash_col
                 )
-                accepted.unpersist()
         finally:
+            if survivors is not None:
+                survivors.unpersist()
             batch.unpersist()
 
     writer = stream_images.writeStream.foreachBatch(_process)

@@ -75,3 +75,30 @@ def test_vectorized_matches_scalar(spark):
     df = spark.createDataFrame(pd.DataFrame({"url": urls}))
     got = [r[0] for r in df.select(canonicalize_udf("url")).collect()]
     assert got == [canonicalize_url(u) for u in urls]
+
+
+def test_ipv6_host_keeps_brackets():
+    """urlsplit strips IPv6 brackets from .hostname; the rebuilt netloc
+    must restore them or host identity collapses to the text before the
+    first colon (politeness/robots/host_bucket all key on the host)."""
+    c = canonicalize_url("http://[2001:DB8::1]:8080/path")
+    assert c == "http://[2001:db8::1]:8080/path"
+    assert host_of(c) == "2001:db8::1"
+    assert canonicalize_url(c) == c
+    c2 = canonicalize_url("http://[2001:DB8::1]/path")
+    assert c2 == "http://[2001:db8::1]/path" and canonicalize_url(c2) == c2
+
+
+def test_malformed_port_userinfo_not_duplicated():
+    """The malformed-port fallback keeps the raw lowercased netloc,
+    which already holds any userinfo — re-prepending credentials would
+    double them on every pass and break idempotence."""
+    c = canonicalize_url("http://Alice@H.example:99999/p")
+    assert c == "http://alice@h.example:99999/p"
+    assert canonicalize_url(c) == c
+
+
+def test_userinfo_preserved_once():
+    c = canonicalize_url("http://Alice:pw@H.example/p?b=2&a=1#f")
+    assert c == "http://Alice:pw@h.example/p?a=1&b=2"
+    assert canonicalize_url(c) == c

@@ -29,6 +29,30 @@ def test_update_set(spark, tmp_path):
     assert got == {1: "a", 2: "B"}
 
 
+def test_delete_where_null_condition_keeps_row(spark, tmp_path):
+    """SQL DELETE semantics: only TRUE conditions delete — a NULL
+    condition (NULL column under `<`) keeps the row, matching the
+    DuckDB twin (a bare `~cond` filter would silently drop it)."""
+    t = _t(
+        spark, tmp_path, "dn",
+        [(1, -5.0), (2, None), (3, 7.0)], "k int, bal double",
+    )
+    t.delete_where(spark, F.col("bal") < 0)
+    assert sorted(r.k for r in t.read(spark).collect()) == [2, 3]
+
+
+def test_update_set_evaluates_against_pre_update_row(spark, tmp_path):
+    """SQL UPDATE semantics: all assignments and the condition read the
+    PRE-update row, so SET a=b, b=a swaps (sequential column rewrites
+    would yield a=b=old_b)."""
+    t = _t(spark, tmp_path, "us", [(1, 2, 1), (2, 5, 9)], "k int, a int, b int")
+    t.update_set(
+        spark, F.col("a") > F.col("b"), {"a": F.col("b"), "b": F.col("a")}
+    )
+    got = {r.k: (r.a, r.b) for r in t.read(spark).collect()}
+    assert got == {1: (1, 2), 2: (5, 9)}
+
+
 def test_merge_upsert_last_wins(spark, tmp_path):
     t = _t(spark, tmp_path, "m", [(1, "old"), (2, "keep")], "k int, v string")
     incoming = spark.createDataFrame([(1, "new"), (3, "ins")], "k int, v string")

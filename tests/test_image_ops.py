@@ -258,3 +258,9 @@ def test_audio_fingerprints_preserves_id_name_and_type(spark):
     got = out.toPandas().sort_values("clip_id")
     assert list(got.clip_id) == [7, 8]
     assert got.afp.iloc[0] == got.afp.iloc[1] != 0  # gain-invariant
+    # audio_features shares the contract (same review finding)
+    feats = V.audio_features(df, id_col="clip_id")
+    assert feats.schema["clip_id"].dataType.simpleString() == "bigint"
+    fgot = feats.toPandas().sort_values("clip_id")
+    assert list(fgot.clip_id) == [7, 8]
+    assert list(fgot.sample_rate) == [sr, sr]

@@ -1131,3 +1131,30 @@ def test_minhash_index_keeps_caller_signature_cache(spark, tmp_path):
         assert sig.is_cached
     finally:
         sig.unpersist()
+
+
+def test_page_store_empty_parquet_clean_missing(spark, tmp_path):
+    """A zero-row page_store must serve clean STATUS_MISSING lookups
+    (combine_chunks() yields zero chunks on empty tables — chunk(0)
+    would raise IndexError inside the executor)."""
+    import pandas as pd_
+
+    from scraper_spark.plans.spec import STATUS_MISSING
+    from scraper_spark.sources import page_store as PS
+
+    path = str(tmp_path / "empty_store.parquet")
+    pd_.DataFrame(
+        {
+            "canon_url": pd_.Series([], dtype="string"),
+            "status": pd_.Series([], dtype="int64"),
+            "links": pd_.Series([], dtype="object"),
+            "image_id": pd_.Series([], dtype="string"),
+            "caption": pd_.Series([], dtype="string"),
+        }
+    ).to_parquet(path, index=False)
+    client = PS.ParquetPageStoreClient(path)
+    out = client.lookup_batch(
+        pd_.Series(["http://a.example/"]), pd_.Series([0])
+    )
+    assert list(out.status) == [STATUS_MISSING]
+    assert out.links.iloc[0] is None

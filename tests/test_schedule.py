@@ -166,3 +166,40 @@ def test_robots_blocked_never_scheduled(spark, engine):
         assert not u.split("h0.example")[1].startswith("/d/1")
     for u in out[out.host == "h1.example"].canon_url:
         assert not u.split("h1.example")[1].startswith("/d/2")
+
+
+def test_dim_tables_skip_rewrite_and_expire(spark, fixture_dir, tmp_path):
+    """Dim tables are config projections: re-constructing an engine on
+    the same work dir with unchanged politeness must SKIP the dim
+    rewrites (snapshot ids stay put), and when a rewrite does happen
+    the superseded snapshot dirs are expired immediately — a
+    thousand-times-resumed work dir keeps exactly one live snapshot
+    per dim instead of accreting one per construction."""
+    import os
+
+    work = str(tmp_path / "dimwork")
+    e1 = CrawlEngine(spark, fixture_dir, work)
+    sid_tok = e1.t_tokens.current_snapshot_id()
+    sid_rob = e1.t_robots.current_snapshot_id()
+    assert len(e1.t_tokens.snapshots()) == 1
+    assert len(e1.t_robots.snapshots()) == 1
+    before = (
+        e1.tokens_df.toPandas().sort_values("host").reset_index(drop=True)
+    )
+    e2 = CrawlEngine(spark, fixture_dir, work)
+    assert e2.t_tokens.current_snapshot_id() == sid_tok
+    assert e2.t_robots.current_snapshot_id() == sid_rob
+    assert len(e2.t_tokens.snapshots()) == 1
+    # a changed config fingerprints differently -> rewrite + expire
+    # (simulate by clobbering the fingerprint file)
+    os.remove(os.path.join(work, "dim_fingerprint.json"))
+    e3 = CrawlEngine(spark, fixture_dir, work)
+    assert e3.t_tokens.current_snapshot_id() > sid_tok
+    assert len(e3.t_tokens.snapshots()) == 1  # old dir expired
+    assert len(e3.t_robots.snapshots()) == 1
+    # dims still answer identically (read BEFORE expiry for e1's view —
+    # an expired snapshot's files are gone by design)
+    assert (
+        e3.tokens_df.toPandas().sort_values("host").reset_index(drop=True)
+        .equals(before)
+    )

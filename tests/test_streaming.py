@@ -227,3 +227,49 @@ def test_streaming_image_ingest_dedup(spark, tmp_path):
     from scraper_spark.operators.phash_dedup import N_BANDS
 
     assert bands_t.read(spark).count() == len(expected) * N_BANDS
+
+
+def test_tailer_exactly_once_across_compaction(spark, tmp_path):
+    """Log maintenance must be invisible to the tailer: rows arrive
+    exactly once from the append (s-prefix) snapshot that first carried
+    them — compact_appends merging streamed rounds into a c-dir,
+    expire_snapshots deleting the replaced append dirs, and later
+    appends must neither re-deliver nor drop anything, while batch
+    reads keep seeing the full table via the compact pile."""
+    from scraper_spark.plans.frontier import LOG_SCHEMA
+    from scraper_spark.sources.tableio import TableIO
+
+    work = tmp_path / "w"
+    t = TableIO(str(work / "crawl_log"))
+
+    def rows(r, n=3):
+        data = [
+            (r * 100 + i, r, f"http://h{i}.example/{r}", f"h{i}.example",
+             i, 0, r, 200, i)
+            for i in range(n)
+        ]
+        return spark.createDataFrame(data, LOG_SCHEMA)
+
+    for r in range(4):
+        t.append(rows(r))
+    q = ST.run_to_memory(
+        ST.tail_crawl_log(spark, str(work)).select("seq"), "tail_x1",
+        output_mode="append",
+    )
+    try:
+        first = {r.seq for r in spark.sql("SELECT seq FROM tail_x1").collect()}
+        assert first == {r * 100 + i for r in range(4) for i in range(3)}
+        # maintenance: merge the four appends, expire the originals
+        cid = t.compact_appends(spark)
+        assert cid is not None
+        t.expire_snapshots(cid)
+        t.append(rows(4))
+        q.processAllAvailable()
+        got = [r.seq for r in spark.sql("SELECT seq FROM tail_x1").collect()]
+        expected = sorted(r * 100 + i for r in range(5) for i in range(3))
+        assert sorted(got) == expected          # nothing re-delivered
+        assert len(got) == len(set(got))        # ...and nothing twice
+    finally:
+        q.stop()
+    # batch readers still see everything (via the compact pile)
+    assert t.read(spark).count() == 15
