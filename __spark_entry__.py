@@ -471,16 +471,28 @@ def q_d_lsh_pairs(spark, sf):
     # minhash_build_index + lsh_dedup_table: bucket-pruned band
     # equi-join + bucket-pruned signature verify, no corpus self-join).
     docs = _t(spark, sf, "documents")
-    corpus_pairs = D.lsh_candidate_pairs(docs).select(
+    # ONE signature aggregate (the dominant explode+md5 stage) shared
+    # by all three consumers via signatures= — the same reuse the
+    # streaming ingest path does; signatures are per-doc, so the two
+    # split-side frames are filters of the cached whole. Registered in
+    # the dedup thread cache so the standard lifecycle (released on
+    # the thread's next materializing dedup call) applies.
+    sig = D.minhash_signatures(docs).persist()
+    D.release_signature_cache()
+    D._thread_sig_caches().append(sig)
+    corpus_pairs = D.lsh_candidate_pairs(docs, signatures=sig).select(
         F.lit("corpus").alias("path"), "*"
     )
-    is_batch = F.col("doc_id") % BATCH_MOD == 0
+    is_batch = F.col("doc_id") % BATCH_MOD == 0  # unbound: docs OR sig
     bands_t = _scratch_table("mh_bands")
     sigs_t = _scratch_table("mh_sigs")
-    D.minhash_build_index(docs.where(~is_batch), bands_t, sigs_t)
-    incr = D.lsh_dedup_table(spark, bands_t, sigs_t, docs.where(is_batch)).select(
-        F.lit("incr").alias("path"), "*"
+    D.minhash_build_index(
+        docs.where(~is_batch), bands_t, sigs_t, signatures=sig.where(~is_batch)
     )
+    incr = D.lsh_dedup_table(
+        spark, bands_t, sigs_t, docs.where(is_batch),
+        signatures=sig.where(is_batch),
+    ).select(F.lit("incr").alias("path"), "*")
     return corpus_pairs.unionByName(incr)
 
 

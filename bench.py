@@ -218,7 +218,12 @@ def run_crawl_scaling() -> dict:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
+    try:
+        # cosmetic label only — a non-numeric suffix (sf1_v2, /data/sfo)
+        # must not kill the bench before it runs
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
+    except ValueError:
+        sf = None
 
     queries = run_queries(sf_dir, cpus)
     total = round(sum(queries.values()), 3)

@@ -452,18 +452,22 @@ def lsh_dedup_table(
     frame (ideally already persisted): skips recomputing the dominant
     explode+md5 stage when the caller also needs the signatures for an
     intra-batch pass or the index fold (the streaming ingest path)."""
-    nsig = (
-        minhash_signatures(new_docs).persist()
-        if signatures is None
-        else signatures
-    )
-    nbands = band_rows(nsig).withColumn("bb", _bb_col()).persist()
-    # same lifecycle as lsh_candidate_pairs' signature frame: released
-    # on this thread's next materialized call or eagerly via
-    # release_signature_cache() once the result is written/collected.
-    # A caller-provided signatures frame stays the caller's to manage.
+    # same lifecycle as lsh_candidate_pairs' signature frame: when this
+    # call materializes its own signatures, the PREVIOUS call's cached
+    # frames are released first (so a per-batch driver loop pins O(1)
+    # frames, not O(batches)); this call's are released on the thread's
+    # next materializing call or eagerly via release_signature_cache()
+    # once the result is written/collected. A caller-provided
+    # signatures frame stays the caller's to manage — and is why the
+    # release is gated: it may itself sit in the thread cache, still
+    # feeding the caller's other unmaterialized results.
     if signatures is None:
+        release_signature_cache()
+        nsig = minhash_signatures(new_docs).persist()
         _thread_sig_caches().append(nsig)
+    else:
+        nsig = signatures
+    nbands = band_rows(nsig).withColumn("bb", _bb_col()).persist()
     _thread_sig_caches().append(nbands)
     touched_bb = {int(r["bb"]) for r in nbands.select("bb").distinct().collect()}
     corpus_bands = bands_table.read(spark, partitions={"bb": touched_bb})

@@ -19,7 +19,9 @@ pruning when the table is written partitioned by ``bucket``.
 
 from __future__ import annotations
 
+import json
 import math
+import os
 
 from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
@@ -342,7 +344,16 @@ def lsh_topk_table(
         F.explode(
             F.array(*probe_key_cols(F.col("qbucket"), n_bits, probe_hamming))
         ).alias("bucket"),
-    )
+    ).persist()
+    # the probes frame feeds BOTH the touched-bucket collect and the
+    # candidate join; without the pin the caller's query-side lineage
+    # (possibly an expensive derivation) executes twice. Registered in
+    # the dedup thread cache — the repo's one cache lifecycle: released
+    # on the thread's next materializing dedup/probe call or eagerly
+    # via dedup.release_signature_cache().
+    from scraper_spark.operators.dedup import _thread_sig_caches
+
+    _thread_sig_caches().append(probes)
     touched = [
         int(r["bucket"])
         for r in probes.select("bucket")
@@ -571,13 +582,38 @@ def _ivf_centroids_sidecar(table):
     return TableIO(table.root.rstrip("/") + "_centroids")
 
 
+def _lists_overwrite_sid(table) -> int | None:
+    """Snapshot id of the lists table's newest overwrite (the build
+    that defined the current quantization); None if never overwritten."""
+    sids = [s["id"] for s in table.snapshots() if s["op"] == "overwrite"]
+    return max(sids) if sids else None
+
+
 def _ivf_stored_centroids(spark, table, k_centroids: int) -> DataFrame:
     """(cid, cvec) frame for a stored lists table: the sidecar when
     present (k-row read), else the legacy pinned-vec_id filter over the
-    lists themselves (pre-sidecar indexes — correct but O(corpus))."""
+    lists themselves (pre-sidecar indexes — correct but O(corpus)).
+
+    Staleness guard: the sidecar's meta records WHICH lists overwrite
+    (build) it belongs to; a sidecar left behind by a crashed or
+    out-of-band-wiped rebuild would otherwise hand probes the PREVIOUS
+    quantization's centroids with no error. Mismatch → ValueError
+    (rebuild the index); missing meta (pre-guard sidecars) → legacy
+    fallback, which is always consistent with the lists themselves."""
     side = _ivf_centroids_sidecar(table)
     if side.exists():
-        return side.read(spark)
+        meta_path = os.path.join(side.root, "lists_sid.json")
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                bound = json.load(f)["lists_sid"]
+            current = _lists_overwrite_sid(table)
+            if bound != current:
+                raise ValueError(
+                    f"stale IVF centroid sidecar at {side.root}: built for "
+                    f"lists overwrite {bound}, lists are now at {current} — "
+                    "rebuild the index (ivf_build_lists)"
+                )
+            return side.read(spark)
     return (
         table.read(spark)
         .where(F.col("vec_id") < k_centroids)
@@ -615,7 +651,18 @@ def ivf_build_lists(
         ivf_assign(embeddings, k_centroids, centroids=cents),
         partition_by=["cid"],
     )
-    _ivf_centroids_sidecar(table).overwrite(cents.select("cid", "cvec"))
+    side = _ivf_centroids_sidecar(table)
+    side.overwrite(cents.select("cid", "cvec"))
+    # bind the sidecar to THIS build (atomic meta replace): a crash
+    # between the two overwrites, or an out-of-band lists wipe, leaves
+    # a sidecar whose meta no longer matches the lists' newest
+    # overwrite — _ivf_stored_centroids then fails fast instead of
+    # silently probing with the previous quantization's centroids
+    meta_path = os.path.join(side.root, "lists_sid.json")
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"lists_sid": sid}, f)
+    os.replace(tmp, meta_path)
     return sid
 
 
@@ -692,7 +739,12 @@ def ivf_topk_from_lists(
         cent_rows, key=lambda c: (-_seq_cosine(c[1], qvec), c[0])
     )
     probed = sorted(int(c[0]) for c in ranked[:nprobe])
-    lists = table.read(spark).where(F.col("cid").isin(probed))
+    # partitions= prunes at the TableIO layer (manifest leaf-dir
+    # listing on multi-root / PartitionFilters on single-root); a
+    # post-scan isin() would full-scan every snapshot once appends
+    # exist, because multi-root reads rebuild cid from file paths —
+    # a row-level expression Catalyst can't prune files with
+    lists = table.read(spark, partitions={"cid": set(probed)})
     if exclude_vec_id is not None:
         lists = lists.where(F.col("vec_id") != exclude_vec_id)
     qcol = F.array(*[F.lit(float(x)) for x in qvec])
@@ -755,7 +807,12 @@ def ivf_topk_table(
         qscore.withColumn("_rn", F.row_number().over(wq))
         .where(F.col("_rn") <= nprobe)
         .select("qid", "qvec", "cid")
-    )
+    ).persist()
+    # pinned for the same reason as lsh_topk_table's probes frame: it
+    # feeds both the probed-cid collect and the candidate join
+    from scraper_spark.operators.dedup import _thread_sig_caches
+
+    _thread_sig_caches().append(qprobe)
     # union of probed cids: ≤ k_centroids ints — bounded driver action
     probed = {
         int(r["cid"]) for r in qprobe.select("cid").distinct().collect()

@@ -241,6 +241,18 @@ def merge_segment_frames(frames: list[pd.DataFrame]) -> dict[int, CuckooSegment]
             if cur is None:
                 out[int(seg_id)] = incoming
                 continue
+            if cur.n_buckets != incoming.n_buckets:
+                # packed (bucket, fp) pairs lose the original hash, so
+                # bucket indices CANNOT be re-derived for a different
+                # table size — a silent merge would misplace items and
+                # break the no-false-negative contract. Resizing
+                # n_buckets requires a rebuild from the crawl log
+                # (build_segments), exactly like a Bloom re-size.
+                raise ValueError(
+                    f"cuckoo segment {int(seg_id)} size mismatch: "
+                    f"{cur.n_buckets} vs {incoming.n_buckets} buckets — "
+                    "resizing requires a rebuild from the log"
+                )
             for packed in np.sort(incoming.occupied()):
                 cur.insert_pair(int(packed) & 0xFFFF, int(packed) >> 16)
     return out

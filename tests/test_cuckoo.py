@@ -151,3 +151,29 @@ def test_deterministic_rebuild(n_buckets):
     for s in s1:
         assert np.array_equal(s1[s].table, s2[s].table)
         assert sorted(s1[s].stash) == sorted(s2[s].stash)
+
+
+def test_merge_rejects_mismatched_segment_sizes():
+    """Packed (bucket, fp) pairs lose the original hash, so bucket
+    indices cannot be re-derived for a different table size — merging
+    differently-sized segments must fail fast (silent merge = items in
+    buckets the probe never checks = false negatives), and resizing
+    n_buckets is a rebuild-from-log operation."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    from scraper_spark.plans.cuckoo import CuckooSegment, merge_segment_frames
+
+    small = CuckooSegment(n_buckets=2**10)
+    big = CuckooSegment(n_buckets=2**12)
+    small.insert_hashes(np.arange(10, dtype=np.int64) * 7919)
+    big.insert_hashes(np.arange(10, 20, dtype=np.int64) * 7919)
+
+    def row(seg):
+        w, s = seg.to_arrays()
+        return {"seg": 0, "words": w, "stash": s}
+
+    frame = pd.DataFrame([row(small), row(big)])
+    with pytest.raises(ValueError, match="size mismatch"):
+        merge_segment_frames([frame])

@@ -1158,3 +1158,73 @@ def test_page_store_empty_parquet_clean_missing(spark, tmp_path):
     )
     assert list(out.status) == [STATUS_MISSING]
     assert out.links.iloc[0] is None
+
+
+def test_ivf_point_probe_pruned_after_append(spark, tmp_path):
+    """ivf_topk_from_lists must scan only the probed cid partitions
+    even on the multi-root (post-append) layout — a post-scan isin()
+    would silently full-scan every snapshot (the multi-root read
+    rebuilds cid from file paths, which Catalyst can't prune with)."""
+    from scraper_spark.operators.similarity import (
+        ivf_append_lists,
+        ivf_build_lists,
+        ivf_topk_from_lists,
+    )
+    from scraper_spark.sources.tableio import TableIO
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    t = TableIO(str(tmp_path / "plists"))
+    ivf_build_lists(emb.where(F.col("vec_id") < 80), t, k_centroids=8)
+    ivf_append_lists(
+        spark, t, emb.where((F.col("vec_id") >= 80) & (F.col("vec_id") < 100)),
+        k_centroids=8,
+    )
+    assert len(t.snapshots()) >= 2  # genuinely multi-root
+    qvec = emb.where(F.col("vec_id") == 1).first()["embedding"]
+    out = ivf_topk_from_lists(
+        spark, t, qvec, k=5, k_centroids=8, nprobe=2, exclude_vec_id=1
+    )
+    files = out.inputFiles()
+    cids = {f.split("cid=")[1].split("/")[0] for f in files if "cid=" in f}
+    assert files and len(cids) <= 2  # nprobe partitions only
+
+
+def test_ivf_sidecar_staleness_guard(spark, tmp_path):
+    """A centroid sidecar left behind by a different (e.g. crashed or
+    out-of-band) build must fail fast instead of silently probing with
+    the previous quantization's centroids."""
+    import pytest as _pytest
+
+    from scraper_spark.operators.similarity import (
+        ivf_build_lists,
+        ivf_topk_from_lists,
+    )
+    from scraper_spark.sources.tableio import TableIO
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.where(F.col("vec_id") < 60)
+    t = TableIO(str(tmp_path / "slists"))
+    ivf_build_lists(base, t, k_centroids=8)
+    # simulate a rebuild that bumped the lists without the sidecar
+    t.overwrite(t.read(spark), partition_by=["cid"])
+    qvec = emb.where(F.col("vec_id") == 1).first()["embedding"]
+    with _pytest.raises(ValueError, match="stale IVF centroid sidecar"):
+        ivf_topk_from_lists(spark, t, qvec, k=5, k_centroids=8, nprobe=2)
+
+
+def test_lsh_dedup_table_bounded_thread_cache(spark, tmp_path):
+    """A per-batch driver loop calling lsh_dedup_table (no signatures=)
+    must pin O(1) cached frames, not O(batches): each materializing
+    call releases the previous call's thread-cache entries."""
+    from scraper_spark.operators import dedup as D
+    from scraper_spark.sources.tableio import TableIO
+
+    docs = _incr_docs(spark)
+    bt, st = TableIO(str(tmp_path / "lb")), TableIO(str(tmp_path / "ls"))
+    D.minhash_build_index(docs.where(F.col("doc_id") % 3 != 0), bt, st)
+    D.release_signature_cache()
+    for _ in range(3):
+        D.lsh_dedup_table(spark, bt, st, docs.where(F.col("doc_id") % 3 == 0)).count()
+    # nsig + nbands + cand from the LAST call only
+    assert len(D._thread_sig_caches()) <= 3
+    D.release_signature_cache()

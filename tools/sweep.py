@@ -31,7 +31,14 @@ def main() -> int:
             continue
         t0 = time.time()
         try:
-            n = fn(spark, sf).count()
+            df = fn(spark, sf)
+            # noop sink BEFORE counting: count() alone lets Catalyst
+            # prune projection-only queries to a bare scan, so a regex
+            # blowup / overflow that only manifests at 10x would pass
+            # the gate without the expressions ever running (the same
+            # hazard bench.py documents — ADVICE r01)
+            df.write.format("noop").mode("overwrite").save()
+            n = df.count()
             print(f"OK   {name}: {n} rows in {time.time() - t0:.2f}s", flush=True)
         except Exception as ex:  # noqa: BLE001 — sweep must report, not die
             failures += 1
