@@ -477,9 +477,9 @@ def q_d_lsh_pairs(spark, sf):
     # split-side frames are filters of the cached whole. Registered in
     # the dedup thread cache so the standard lifecycle (released on
     # the thread's next materializing dedup call) applies.
-    sig = D.minhash_signatures(docs).persist()
-    D.release_signature_cache()
-    D._thread_sig_caches().append(sig)
+    sig = D.register_signature_cache(
+        D.minhash_signatures(docs).persist(), rotate=True
+    )
     corpus_pairs = D.lsh_candidate_pairs(docs, signatures=sig).select(
         F.lit("corpus").alias("path"), "*"
     )

@@ -30,6 +30,7 @@ analog of the per-host dim rows this feeds.
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass, field
 
 
@@ -70,6 +71,14 @@ def parse_robots(text: str, user_agent: str = "*") -> RobotsRules:
                 collecting_agents = True
             cur["tokens"].append(val.lower())
             continue
+        if fld not in ("allow", "disallow", "crawl-delay"):
+            # RFC 9309 §2.2.4: records outside the group structure
+            # (Sitemap:, unknown fields) MUST NOT interfere with group
+            # parsing — they neither join the group nor split a run of
+            # User-agent lines (a Sitemap between two User-agent lines
+            # leaves them ONE group, matching Google's reference
+            # matcher; test_sitemap_between_user_agent_lines)
+            continue
         collecting_agents = False
         if cur is None:
             continue  # rules before any user-agent line: no group
@@ -80,11 +89,17 @@ def parse_robots(text: str, user_agent: str = "*") -> RobotsRules:
                 cur["skipped"] += 1
                 continue
             cur["rules"].append((val, fld == "allow"))
-        elif fld == "crawl-delay":
+        else:  # crawl-delay
             try:
-                cur["delay"] = float(val)
+                d = float(val)
             except ValueError:
-                pass
+                continue
+            # robots.txt is untrusted remote input: float() accepts
+            # 'nan'/'inf', nan is truthy, and the token computation
+            # int(round_seconds // nan) downstream raises — only a
+            # finite positive delay is a delay
+            if math.isfinite(d) and d > 0:
+                cur["delay"] = d
 
     # group selection: most specific matching token; '*' at 0
     def specificity(tok: str) -> int:

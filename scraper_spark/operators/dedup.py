@@ -192,6 +192,26 @@ def release_signature_cache() -> None:
     caches.clear()
 
 
+def register_signature_cache(df: DataFrame, *, rotate: bool = False) -> DataFrame:
+    """Register an externally persisted frame in the calling thread's
+    cache so the standard lifecycle applies: released on the thread's
+    next rotating call or eagerly via :func:`release_signature_cache`.
+
+    ``rotate=True`` releases the previous entries FIRST — the
+    O(1)-pinning pattern for per-batch driver loops (each call pins its
+    own frames, not O(batches): test_lsh_dedup_table_bounded_thread_cache,
+    test_probe_table_calls_rotate_thread_cache). Keep the default when
+    the cache may still hold a frame feeding the caller's other
+    unmaterialized results (the ``signatures=`` sharing pattern). This
+    is the one public registration point — operators outside this
+    module (the similarity batched probes, the driver entry) use it
+    instead of reaching into the private thread-local."""
+    if rotate:
+        release_signature_cache()
+    _thread_sig_caches().append(df)
+    return df
+
+
 def band_rows(sig: DataFrame) -> DataFrame:
     """(doc_id, band_id, band_hash) — one row per LSH band of each
     signature: the 8-band × 8-row banding both the corpus self-join
@@ -260,9 +280,7 @@ def lsh_candidate_pairs(
     else:
         sig = minhash_signatures(docs)
         if materialize:
-            release_signature_cache()
-            sig = sig.persist()
-            _thread_sig_caches().append(sig)
+            sig = register_signature_cache(sig.persist(), rotate=True)
     stacked = band_rows(sig)
     pairs = (
         stacked.alias("a")
@@ -462,13 +480,14 @@ def lsh_dedup_table(
     # release is gated: it may itself sit in the thread cache, still
     # feeding the caller's other unmaterialized results.
     if signatures is None:
-        release_signature_cache()
-        nsig = minhash_signatures(new_docs).persist()
-        _thread_sig_caches().append(nsig)
+        nsig = register_signature_cache(
+            minhash_signatures(new_docs).persist(), rotate=True
+        )
     else:
         nsig = signatures
-    nbands = band_rows(nsig).withColumn("bb", _bb_col()).persist()
-    _thread_sig_caches().append(nbands)
+    nbands = register_signature_cache(
+        band_rows(nsig).withColumn("bb", _bb_col()).persist()
+    )
     touched_bb = {int(r["bb"]) for r in nbands.select("bb").distinct().collect()}
     corpus_bands = bands_table.read(spark, partitions={"bb": touched_bb})
     cand = (

@@ -347,13 +347,14 @@ def lsh_topk_table(
     ).persist()
     # the probes frame feeds BOTH the touched-bucket collect and the
     # candidate join; without the pin the caller's query-side lineage
-    # (possibly an expensive derivation) executes twice. Registered in
-    # the dedup thread cache — the repo's one cache lifecycle: released
-    # on the thread's next materializing dedup/probe call or eagerly
-    # via dedup.release_signature_cache().
-    from scraper_spark.operators.dedup import _thread_sig_caches
+    # (possibly an expensive derivation) executes twice. rotate=True
+    # releases the PREVIOUS probe/dedup call's pins first, so a
+    # per-batch enrichment loop holds O(1) cached frames, not
+    # O(batches); this call's pin is released in turn by the thread's
+    # next rotating call or eagerly via dedup.release_signature_cache().
+    from scraper_spark.operators.dedup import register_signature_cache
 
-    _thread_sig_caches().append(probes)
+    register_signature_cache(probes, rotate=True)
     touched = [
         int(r["bucket"])
         for r in probes.select("bucket")
@@ -592,14 +593,20 @@ def _lists_overwrite_sid(table) -> int | None:
 def _ivf_stored_centroids(spark, table, k_centroids: int) -> DataFrame:
     """(cid, cvec) frame for a stored lists table: the sidecar when
     present (k-row read), else the legacy pinned-vec_id filter over the
-    lists themselves (pre-sidecar indexes — correct but O(corpus)).
+    lists themselves (pre-sidecar indexes only — that fallback is valid
+    solely for the PINNED-DEFAULT quantization, where the centroids are
+    the first k corpus vectors; for a kmeans-built ``centroids=`` index
+    the vec_id<k rows are arbitrary corpus vectors, so the sidecar is
+    the only record of the quantization).
 
     Staleness guard: the sidecar's meta records WHICH lists overwrite
     (build) it belongs to; a sidecar left behind by a crashed or
     out-of-band-wiped rebuild would otherwise hand probes the PREVIOUS
     quantization's centroids with no error. Mismatch → ValueError
-    (rebuild the index); missing meta (pre-guard sidecars) → legacy
-    fallback, which is always consistent with the lists themselves."""
+    (rebuild the index). A sidecar WITHOUT meta (pre-guard build) is
+    trusted as-is — it IS the build's quantization, and falling back to
+    vec_id<k here would silently mis-rank every probe of a
+    kmeans-built index (test_ivf_sidecar_without_meta_trusted)."""
     side = _ivf_centroids_sidecar(table)
     if side.exists():
         meta_path = os.path.join(side.root, "lists_sid.json")
@@ -613,7 +620,7 @@ def _ivf_stored_centroids(spark, table, k_centroids: int) -> DataFrame:
                     f"lists overwrite {bound}, lists are now at {current} — "
                     "rebuild the index (ivf_build_lists)"
                 )
-            return side.read(spark)
+        return side.read(spark)
     return (
         table.read(spark)
         .where(F.col("vec_id") < k_centroids)
@@ -808,11 +815,13 @@ def ivf_topk_table(
         .where(F.col("_rn") <= nprobe)
         .select("qid", "qvec", "cid")
     ).persist()
-    # pinned for the same reason as lsh_topk_table's probes frame: it
-    # feeds both the probed-cid collect and the candidate join
-    from scraper_spark.operators.dedup import _thread_sig_caches
+    # pinned for the same reason as lsh_topk_table's probes frame (it
+    # feeds both the probed-cid collect and the candidate join), with
+    # the same rotate-on-call lifecycle bounding a per-batch loop to
+    # O(1) pinned frames
+    from scraper_spark.operators.dedup import register_signature_cache
 
-    _thread_sig_caches().append(qprobe)
+    register_signature_cache(qprobe, rotate=True)
     # union of probed cids: ≤ k_centroids ints — bounded driver action
     probed = {
         int(r["cid"]) for r in qprobe.select("cid").distinct().collect()

@@ -50,9 +50,19 @@ def tail_crawl_log(spark: SparkSession, work_dir: str) -> DataFrame:
     dirs only — TableIO prefixes append dirs ``s``, compact piles ``c``
     and overwrites ``o`` — so log maintenance (compact_appends merging
     already-streamed rounds, or the size-parity promote-overwrite)
-    rewrites rows WITHOUT the tailer re-delivering them: every log row
-    is delivered exactly once, from the append snapshot that first
-    carried it. ``ignoreMissingFiles`` covers the complementary
+    rewrites rows WITHOUT the tailer re-delivering them: across log
+    MAINTENANCE every row is delivered exactly once, from the append
+    snapshot that first carried it. Across a torn-round crash-resume
+    the tail is AT-LEAST-ONCE: a round's log append can be
+    manifest-committed (and consumed by the tailer) before the round's
+    state commit; the resume rollback then deletes that dir and the
+    deterministic re-run re-appends bit-identical rows under fresh
+    part filenames, which the file source delivers again. No
+    writer-side scheme can close that window for an already-consumed
+    batch, so the contract is the industry one: rows carry a globally
+    unique deterministic ``seq``, and consumers needing exact counts
+    dedup on it (``round_metrics_stream(exactly_once=True)``) or write
+    idempotently. ``ignoreMissingFiles`` covers the complementary
     hazard — expire_snapshots physically dropping a compacted append
     dir mid-stream would otherwise fail the micro-batch. Caveat: a
     tailer that starts (or lags) more than a compaction window behind
@@ -76,11 +86,24 @@ def tail_crawl_log(spark: SparkSession, work_dir: str) -> DataFrame:
     )
 
 
-def round_metrics_stream(spark: SparkSession, work_dir: str) -> DataFrame:
-    """Per-round live metrics from the log tail: fetch counts by status."""
+def round_metrics_stream(
+    spark: SparkSession, work_dir: str, exactly_once: bool = False
+) -> DataFrame:
+    """Per-round live metrics from the log tail: fetch counts by status.
+
+    ``exactly_once=True`` inserts a streaming dropDuplicates on ``seq``
+    (globally unique + deterministic per log row) ahead of the
+    aggregation, so the torn-round resume window — where
+    :func:`tail_crawl_log` is at-least-once — cannot double-count a
+    round. Costs one seq of streaming state per delivered row for the
+    life of the query: fine for a monitoring tail restarted alongside
+    the crawl (the usual deployment); an always-on tail over a
+    10^10-row log should instead dedup in an idempotent sink."""
+    tail = tail_crawl_log(spark, work_dir)
+    if exactly_once:
+        tail = tail.dropDuplicates(["seq"])
     return (
-        tail_crawl_log(spark, work_dir)
-        .groupBy("round", "status")
+        tail.groupBy("round", "status")
         .agg(F.count("*").alias("n"), F.max("seq").alias("max_seq"))
     )
 

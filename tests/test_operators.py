@@ -1228,3 +1228,79 @@ def test_lsh_dedup_table_bounded_thread_cache(spark, tmp_path):
     # nsig + nbands + cand from the LAST call only
     assert len(D._thread_sig_caches()) <= 3
     D.release_signature_cache()
+
+
+def test_ivf_sidecar_without_meta_trusted(spark, tmp_path):
+    """A sidecar with no lists_sid.json (pre-guard build) IS the
+    quantization the index was built with and must be used: for a
+    kmeans-built (centroids=) index the legacy vec_id<k fallback would
+    hand back arbitrary corpus vectors and silently mis-rank every
+    probe."""
+    import os as _os
+
+    import numpy as np
+
+    from scraper_spark.operators.similarity import (
+        _ivf_centroids_sidecar,
+        ivf_build_lists,
+        ivf_topk_from_lists,
+        kmeans_centroids,
+    )
+    from scraper_spark.sources.tableio import TableIO
+
+    rng = np.random.default_rng(7)
+    rows = [
+        (i, [float(x) for x in rng.normal(size=8)], i % 2) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    table = TableIO(str(tmp_path / "ivf_meta"))
+    ivf_build_lists(df, table, k_centroids=8, centroids=kmeans_centroids(df, k=8))
+    qvec = rows[0][1]
+
+    def probe():
+        return ivf_topk_from_lists(
+            spark, table, qvec, k=5, k_centroids=8, nprobe=2, exclude_vec_id=0
+        ).toPandas()
+
+    with_meta = probe()
+    _os.remove(_os.path.join(_ivf_centroids_sidecar(table).root, "lists_sid.json"))
+    without_meta = probe()
+    assert list(without_meta.vec_id) == list(with_meta.vec_id)
+    assert list(without_meta.cosine) == list(with_meta.cosine)
+
+
+def test_probe_table_calls_rotate_thread_cache(spark, tmp_path):
+    """A per-batch ANN enrichment loop (lsh_topk_table / ivf_topk_table
+    per arriving batch) must pin O(1) cached frames, not O(batches):
+    each call's probes pin releases the previous call's — the same
+    lifecycle test_lsh_dedup_table_bounded_thread_cache pins for the
+    dedup path."""
+    import numpy as np
+
+    from scraper_spark.operators import dedup as D
+    from scraper_spark.operators.similarity import (
+        ivf_build_lists,
+        ivf_topk_table,
+        lsh_build_buckets,
+        lsh_topk_table,
+    )
+    from scraper_spark.sources.tableio import TableIO
+
+    rng = np.random.default_rng(3)
+    rows = [
+        (i, [float(x) for x in rng.normal(size=8)], i % 2) for i in range(150)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    queries = df.where(F.col("vec_id") < 3)
+    lsh_t = TableIO(str(tmp_path / "rb"))
+    lsh_build_buckets(df, lsh_t, n_bits=8)
+    D.release_signature_cache()
+    for _ in range(3):
+        lsh_topk_table(spark, lsh_t, queries, k=3, n_bits=8).count()
+    assert len(D._thread_sig_caches()) == 1  # last call's probes only
+    ivf_t = TableIO(str(tmp_path / "rl"))
+    ivf_build_lists(df, ivf_t, k_centroids=8)
+    for _ in range(3):
+        ivf_topk_table(spark, ivf_t, queries, k=3, k_centroids=8, nprobe=2).count()
+    assert len(D._thread_sig_caches()) == 1
+    D.release_signature_cache()

@@ -99,3 +99,44 @@ def test_politeness_config_merges_robots_txt(tmp_path):
     # explicit hosts{} override beats the crawl-delay mapping
     assert pol.tokens("h9.example") == 7
     assert pol.tokens("unlisted.example") == 3
+
+
+def test_crawl_delay_nonfinite_and_nonpositive_ignored():
+    """robots.txt is untrusted remote input: float() accepts nan/inf,
+    nan is truthy, and int(round_seconds // nan) downstream raises —
+    only a finite positive value is a delay."""
+    for bad in ("nan", "inf", "-inf", "-2", "0", "soon"):
+        r = parse_robots(f"User-agent: *\nCrawl-delay: {bad}\n", "x")
+        assert r.crawl_delay is None, bad
+    assert parse_robots("User-agent: *\nCrawl-delay: 2.5\n", "x").crawl_delay == 2.5
+
+
+def test_politeness_config_survives_garbage_crawl_delay(tmp_path):
+    """'Crawl-delay: nan' used to crash PolitenessConfig (and thus
+    engine AND oracle construction) with ValueError from
+    int(round_seconds // nan)."""
+    cfg = {
+        "round_seconds": 10,
+        "robots_txt": {"h.example": "User-agent: *\nCrawl-delay: nan\n"},
+    }
+    p = tmp_path / "politeness.json"
+    p.write_text(json.dumps(cfg))
+    pol = PolitenessConfig.load(str(p))
+    assert pol.tokens("h.example") == pol.default_tokens
+
+
+def test_sitemap_between_user_agent_lines_does_not_split_group():
+    """RFC 9309 §2.2.4: records outside the group structure (Sitemap:,
+    unknown fields) MUST NOT interfere with group parsing — agents a
+    and b share ONE group despite the Sitemap line between them, so
+    both inherit the Disallow (Google's reference matcher agrees)."""
+    txt = (
+        "User-agent: a\nSitemap: http://x/s.xml\n"
+        "User-agent: b\nDisallow: /priv\n"
+    )
+    for agent in ("a", "b"):
+        assert parse_robots(txt, agent).rules == [("/priv", False)], agent
+    # ...but a real rule still closes agent collection: c is its own group
+    txt2 = "User-agent: a\nDisallow: /a\nUser-agent: c\nDisallow: /c\n"
+    assert parse_robots(txt2, "a").rules == [("/a", False)]
+    assert parse_robots(txt2, "c").rules == [("/c", False)]

@@ -273,3 +273,43 @@ def test_tailer_exactly_once_across_compaction(spark, tmp_path):
         q.stop()
     # batch readers still see everything (via the compact pile)
     assert t.read(spark).count() == 15
+
+
+def test_round_metrics_exactly_once_dedups_torn_round_redelivery(spark, tmp_path):
+    """tail_crawl_log is at-least-once across a torn-round resume: the
+    rollback deletes a consumed append dir and the deterministic re-run
+    re-appends bit-identical rows under fresh part filenames, which the
+    file source delivers again. round_metrics_stream(exactly_once=True)
+    dedups on the globally unique seq, so metrics cannot double-count
+    the torn round."""
+    from scraper_spark.plans.frontier import LOG_SCHEMA
+
+    log_data = tmp_path / "w" / "crawl_log" / "data"
+
+    def append_round0(tag):
+        data = [
+            (i, 0, f"http://h{i}.example/", f"h{i}.example", i, 0, 0, 200, i)
+            for i in range(3)
+        ]
+        spark.createDataFrame(data, LOG_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(log_data / tag))
+
+    append_round0("s000001")
+    q = ST.run_to_memory(
+        ST.round_metrics_stream(spark, str(tmp_path / "w"), exactly_once=True),
+        "rm_eo",
+    )
+    try:
+        assert [
+            r.n for r in spark.sql("SELECT n FROM rm_eo WHERE status=200").collect()
+        ] == [3]
+        # torn-round re-delivery: same rows (same seq), new s-dir +
+        # fresh part filenames — exactly what a resume re-run produces
+        append_round0("s000002")
+        q.processAllAvailable()
+        assert [
+            r.n for r in spark.sql("SELECT n FROM rm_eo WHERE status=200").collect()
+        ] == [3]  # not 6
+    finally:
+        q.stop()

@@ -17,6 +17,8 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
+from pyspark.sql import Observation, functions as F  # noqa: E402
+
 import __spark_entry__ as E  # noqa: E402
 from scraper_spark.session import get_spark  # noqa: E402
 
@@ -31,14 +33,17 @@ def main() -> int:
             continue
         t0 = time.time()
         try:
-            df = fn(spark, sf)
-            # noop sink BEFORE counting: count() alone lets Catalyst
+            # noop sink (not count()): count() alone lets Catalyst
             # prune projection-only queries to a bare scan, so a regex
             # blowup / overflow that only manifests at 10x would pass
             # the gate without the expressions ever running (the same
-            # hazard bench.py documents — ADVICE r01)
+            # hazard bench.py documents — ADVICE r01). The row count
+            # rides the SAME execution as an observed metric, so each
+            # query runs once, not once per sink + once per count
+            obs = Observation()
+            df = fn(spark, sf).observe(obs, F.count(F.lit(1)).alias("n"))
             df.write.format("noop").mode("overwrite").save()
-            n = df.count()
+            n = obs.get["n"]
             print(f"OK   {name}: {n} rows in {time.time() - t0:.2f}s", flush=True)
         except Exception as ex:  # noqa: BLE001 — sweep must report, not die
             failures += 1
