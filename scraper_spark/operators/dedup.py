@@ -502,7 +502,7 @@ def lsh_dedup_table(
         .distinct()
         .persist()
     )
-    _thread_sig_caches().append(cand)
+    register_signature_cache(cand)
     touched_db = {
         int(r["db"])
         for r in cand.select(

@@ -302,6 +302,7 @@ def lsh_topk_table(
     qvec_col: str = "embedding",
     exclude_self: bool = True,
     max_pruned_partitions: int = 4096,
+    rotate: bool = True,
 ) -> DataFrame:
     """Batched ANN against the STORED sign-LSH buckets: top-k neighbors
     for EVERY row of a query TABLE in one distributed dataflow — the
@@ -347,14 +348,16 @@ def lsh_topk_table(
     ).persist()
     # the probes frame feeds BOTH the touched-bucket collect and the
     # candidate join; without the pin the caller's query-side lineage
-    # (possibly an expensive derivation) executes twice. rotate=True
-    # releases the PREVIOUS probe/dedup call's pins first, so a
-    # per-batch enrichment loop holds O(1) cached frames, not
-    # O(batches); this call's pin is released in turn by the thread's
+    # (possibly an expensive derivation) executes twice. The default
+    # rotate=True releases the PREVIOUS probe/dedup call's pins first,
+    # so a per-batch enrichment loop holds O(1) cached frames, not
+    # O(batches); a caller whose thread cache still feeds its own
+    # unmaterialized results (the signatures= sharing pattern) passes
+    # rotate=False. This call's pin is released in turn by the thread's
     # next rotating call or eagerly via dedup.release_signature_cache().
     from scraper_spark.operators.dedup import register_signature_cache
 
-    register_signature_cache(probes, rotate=True)
+    register_signature_cache(probes, rotate=rotate)
     touched = [
         int(r["bucket"])
         for r in probes.select("bucket")
@@ -782,6 +785,7 @@ def ivf_topk_table(
     qid_col: str = "vec_id",
     qvec_col: str = "embedding",
     exclude_self: bool = True,
+    rotate: bool = True,
 ) -> DataFrame:
     """Batched IVF-flat ANN against STORED inverted lists: top-k for
     every row of a query TABLE in one dataflow (the batched twin of
@@ -818,10 +822,11 @@ def ivf_topk_table(
     # pinned for the same reason as lsh_topk_table's probes frame (it
     # feeds both the probed-cid collect and the candidate join), with
     # the same rotate-on-call lifecycle bounding a per-batch loop to
-    # O(1) pinned frames
+    # O(1) pinned frames — and the same rotate=False escape hatch for
+    # callers whose thread cache still feeds unmaterialized results
     from scraper_spark.operators.dedup import register_signature_cache
 
-    register_signature_cache(qprobe, rotate=True)
+    register_signature_cache(qprobe, rotate=rotate)
     # union of probed cids: ≤ k_centroids ints — bounded driver action
     probed = {
         int(r["cid"]) for r in qprobe.select("cid").distinct().collect()

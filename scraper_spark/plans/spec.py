@@ -143,8 +143,17 @@ class PolitenessConfig:
             parsed = parse_robots(txt, self.user_agent)
             self.robots_rules.setdefault(host, []).extend(parsed.rules)
             if parsed.crawl_delay and host not in self.host_tokens:
+                # min() before int(): a tiny positive delay (1e-320 —
+                # untrusted remote input the parser's finite-positive
+                # guard can't bound) makes the float quotient overflow
+                # to inf, and int(inf) raises; any cap above real
+                # budgets preserves semantics (delay ≈ 0 → unbounded
+                # tokens → the cap)
                 self.host_tokens[host] = max(
-                    1, int(self.round_seconds // parsed.crawl_delay)
+                    1,
+                    int(
+                        min(self.round_seconds // parsed.crawl_delay, 2**31 - 1)
+                    ),
                 )
         self.max_attempts: int = raw.get("max_attempts", 3)
         # re-crawl TTL in rounds (None = off): a terminal fetch at

@@ -140,3 +140,18 @@ def test_sitemap_between_user_agent_lines_does_not_split_group():
     txt2 = "User-agent: a\nDisallow: /a\nUser-agent: c\nDisallow: /c\n"
     assert parse_robots(txt2, "a").rules == [("/a", False)]
     assert parse_robots(txt2, "c").rules == [("/c", False)]
+
+
+def test_politeness_config_survives_tiny_crawl_delay(tmp_path):
+    """'Crawl-delay: 1e-320' is finite and positive yet used to crash
+    PolitenessConfig with OverflowError: the float quotient
+    round_seconds // delay overflows to inf before int(). The token
+    budget clamps instead."""
+    cfg = {
+        "round_seconds": 10,
+        "robots_txt": {"h.example": "User-agent: *\nCrawl-delay: 1e-320\n"},
+    }
+    p = tmp_path / "politeness.json"
+    p.write_text(json.dumps(cfg))
+    pol = PolitenessConfig.load(str(p))
+    assert pol.tokens("h.example") == 2**31 - 1
