@@ -128,7 +128,8 @@ def run_ann_stored(sf_dir: str) -> dict[str, float]:
     return out
 
 
-def select_best_pair(pairs, run_pair=None, floor=0.85, ceiling=1.02):
+def select_best_pair(pairs, run_pair=None, floor=0.85, ceiling=1.02,
+                     floor_e2e=0.70):
     """Pick the (8-core, 2-core) pair from the least-throttled window
     (fastest 8-core steady rate). A throttle episode can straddle BOTH
     scheduled pairs (episodes run multi-minute; a pair takes ~5): if
@@ -138,16 +139,33 @@ def select_best_pair(pairs, run_pair=None, floor=0.85, ceiling=1.02):
     implausible here: it means the 2-core half was throttled, which
     would FLATTER the ratio — ADVICE r03), spend exactly ONE extra
     pair hoping to land outside the episode, then keep the best of
-    the three. Selection stays fastest-8 (least throttled), never
-    highest-ratio, so the retry is symmetric and noise can't flatter
-    the number."""
+    the three.
+
+    The E2E ratio is a retry trigger too (`floor_e2e`, cleared by
+    every clean-window sample — BENCH.md: 0.735-0.812): e2e is the
+    north-rule headline yet MORE episode-fragile than steady — the
+    fixed-cost startup/drain rounds are seconds long, so an episode
+    tail overlapping them shifts e2e hard while the minute-long bulk
+    rounds barely move (measured 2026-08-21: steady 0.897 at envelope
+    0.961 alongside e2e 0.618 in one window). Selection stays
+    fastest-8 steady (least throttled), never highest-ratio, so every
+    retry is symmetric and noise can't flatter the number."""
 
     def best_of(ps):
         return max(ps, key=lambda p: p[0]["steady_pages_per_sec"])
 
+    def suspect(p):
+        eff = p[0]["steady_pages_per_sec"] / (4.0 * p[1]["steady_pages_per_sec"])
+        if eff < floor or eff > ceiling:
+            return True
+        if "pages_per_sec" in p[0] and "pages_per_sec" in p[1]:
+            e2e = p[0]["pages_per_sec"] / (4.0 * p[1]["pages_per_sec"])
+            if e2e < floor_e2e:
+                return True
+        return False
+
     best = best_of(pairs)
-    eff = best[0]["steady_pages_per_sec"] / (4.0 * best[1]["steady_pages_per_sec"])
-    if (eff < floor or eff > ceiling) and run_pair is not None:
+    if suspect(best) and run_pair is not None:
         best = best_of(list(pairs) + [run_pair()])
     return best
 

@@ -86,6 +86,50 @@ def test_one_extra_pair_above_ceiling():
     assert calls == [1]
 
 
+def _pair_e2e(steady8, steady2, e8, e2):
+    return (
+        {"steady_pages_per_sec": steady8, "pages_per_sec": e8},
+        {"steady_pages_per_sec": steady2, "pages_per_sec": e2},
+    )
+
+
+def test_one_extra_pair_on_bad_e2e_even_when_steady_clean():
+    """An episode tail that only hits the short startup/drain rounds
+    wrecks e2e while steady reads clean (measured 2026-08-21: steady
+    0.897 / e2e 0.618) — the e2e floor triggers the same single retry."""
+    calls = []
+    clean = _pair_e2e(3400.0, 950.0, 2100.0, 660.0)  # e2e 0.795
+
+    def extra():
+        calls.append(1)
+        return clean
+
+    episode = _pair_e2e(2690.0, 750.0, 1436.0, 581.0)  # steady .897, e2e .618
+    assert select_best_pair([episode], run_pair=extra) is clean
+    assert calls == [1]
+
+
+def test_bad_e2e_retry_cannot_flatter():
+    """Selection stays fastest-8 steady: a retry pair with a BETTER
+    e2e ratio but a slower 8-core steady run does not replace the
+    original — the e2e trigger spends a pair, it never shops ratios."""
+    episode = _pair_e2e(2690.0, 750.0, 1436.0, 581.0)
+    better_ratio = _pair_e2e(2000.0, 700.0, 1800.0, 520.0)  # e2e 0.865
+    assert select_best_pair([episode], run_pair=lambda: better_ratio) is episode
+
+
+def test_pairs_without_e2e_fields_skip_the_e2e_trigger():
+    good = _pair(3400.0, 950.0)  # steady 0.895, no pages_per_sec keys
+    calls = []
+
+    def extra():
+        calls.append(1)
+        return good
+
+    assert select_best_pair([good], run_pair=extra) is good
+    assert not calls
+
+
 def test_above_ceiling_retry_cannot_flatter():
     """If the retry pair is slower on the 8-core side, the original
     (implausible) pair is still reported — selection by fastest-8 means
