@@ -342,8 +342,16 @@ def ttl_oracle(ttl_fixture_dir):
         dict(seen_filter="cuckoo", bloom_probe_mode="broadcast"),
         dict(seen_filter="cuckoo", bloom_probe_mode="join"),
         dict(seen_filter="bloom"),
+        # TTL across BOTH compaction boundaries: seen_df derives from
+        # the crawl log that log compaction physically rewrites, and
+        # join-mode TTL expiry appends kind='del' rows that cuckoo
+        # compaction sweeps — aggressive windows force both to fire
+        # mid-crawl, pinning the full deletion+rewrite interplay the
+        # default-window configs above never cross.
+        dict(seen_filter="cuckoo", bloom_probe_mode="join",
+             log_compact_every=4, compact_every=4),
     ],
-    ids=["cuckoo-broadcast", "cuckoo-join", "bloom"],
+    ids=["cuckoo-broadcast", "cuckoo-join", "bloom", "cuckoo-join-compacting"],
 )
 def test_recrawl_ttl_equivalence(
     spark, ttl_fixture_dir, tmp_path_factory, ttl_oracle, cfg
