@@ -395,6 +395,32 @@ def test_recrawl_ttl_equivalence(
             assert not hits.all(), "expired urls never left the filter"
 
 
+def test_recrawl_ttl_resume_byte_identical(
+    spark, ttl_fixture_dir, tmp_path_factory, ttl_oracle
+):
+    """Kill/resume mid-crawl with the TTL ON, after expiry has begun
+    (ttl=3, killed after round 7): the resumed engine must reconstruct
+    the windowed seen state — derived log filter + durable cuckoo
+    kind='del' rows + the activation round in state.json — and finish
+    byte-identical to the oracle's uninterrupted 14-round crawl. Uses
+    join probe mode so the filter itself is rebuilt from the durable
+    segment rows the deletes were appended to."""
+    ora = ttl_oracle
+    work = str(tmp_path_factory.mktemp("crawl_ttl_resume"))
+    cfg = dict(bloom_min_rows=0, decode_images=False,
+               seen_filter="cuckoo", bloom_probe_mode="join")
+    CrawlEngine(spark, ttl_fixture_dir, work, **cfg).run(max_rounds=7)
+    eng2 = CrawlEngine(spark, ttl_fixture_dir, work, **cfg)
+    totals = eng2.run(max_rounds=7)  # rounds 8..14 (additive cap)
+    elog = _engine_log(eng2, spark)
+    pd.testing.assert_frame_equal(elog, ora.log.astype(elog.dtypes.to_dict()))
+    assert totals["final_round"] == ora.final_round
+    eseen = set(
+        eng2.seen_df(rnd=totals["final_round"]).toPandas()["canon_url"]
+    )
+    assert eseen == ora.seen
+
+
 def test_log_compaction_bounds_files_and_resumes(
     spark, tmp_path_factory
 ):
