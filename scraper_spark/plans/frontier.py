@@ -201,6 +201,31 @@ def with_global_seq(
     )
 
 
+def robots_allowed_col(pq, rules):
+    """Column-side REP decision (RFC 9309 §2.2.2) over the per-host
+    prefix-rule structs ``rules: array<struct<p:string,allow:boolean>>``
+    for path+query column ``pq``: keep the matching rules, fold to the
+    (longest, allow-wins-tie) winner, allow iff there are no rules
+    (null host → not in the robots dim), no rule matches, or the
+    winner is an Allow. Pure array expressions — evaluated inside the
+    schedule's single broadcast join, no extra shuffle.
+
+    The EXACT column mirror of ``spec.robots_blocked`` (the oracle's
+    evaluator) — keep the two in lockstep; randomized parity is pinned
+    in tests/test_schedule.py::test_rep_column_python_parity."""
+    matches = F.filter(rules, lambda r: pq.startswith(r["p"]))
+    best = F.aggregate(
+        matches,
+        F.struct(F.lit(-1).alias("l"), F.lit(True).alias("allow")),
+        lambda acc, r: F.when(
+            (F.length(r["p"]) > acc["l"])
+            | ((F.length(r["p"]) == acc["l"]) & r["allow"]),
+            F.struct(F.length(r["p"]).alias("l"), r["allow"].alias("allow")),
+        ).otherwise(acc),
+    )
+    return rules.isNull() | (best["l"] < 0) | best["allow"]
+
+
 class CrawlEngine:
     """Round-synchronous distributed crawler over a fixture dir."""
 
@@ -781,7 +806,8 @@ class CrawlEngine:
         return seen
 
     def _schedule(self, frontier: DataFrame, frontier_rows: int | None) -> DataFrame:
-        """Robots filter + per-host budgeted top-k.
+        """Robots filter (``robots_allowed_col``) + per-host budgeted
+        top-k.
 
         Robots: one broadcast join + ``exists`` over the per-host prefix
         array — no extra shuffle. Top-k: a salted two-phase window when
@@ -791,25 +817,9 @@ class CrawlEngine:
         extra phase would be pure latency there."""
         pq = F.regexp_replace("canon_url", r"^[a-z][a-z0-9+.\-]*://[^/]*", "")
         hint = F.broadcast if self._dims_small else (lambda df: df)
-        # REP precedence, column-side mirror of spec.robots_blocked:
-        # keep the matching rules, fold to the (longest, allow-wins-tie)
-        # winner, block iff the winner is a disallow. Still one
-        # broadcast join + array expressions — no extra shuffle.
-        matches = F.filter(F.col("rules"), lambda r: pq.startswith(r["p"]))
-        best = F.aggregate(
-            matches,
-            F.struct(F.lit(-1).alias("l"), F.lit(True).alias("allow")),
-            lambda acc, r: F.when(
-                (F.length(r["p"]) > acc["l"])
-                | ((F.length(r["p"]) == acc["l"]) & r["allow"]),
-                F.struct(F.length(r["p"]).alias("l"), r["allow"].alias("allow")),
-            ).otherwise(acc),
-        )
         cand = (
             frontier.join(hint(self.robots_df), "host", "left")
-            .where(
-                F.col("rules").isNull() | (best["l"] < 0) | best["allow"]
-            )
+            .where(robots_allowed_col(pq, F.col("rules")))
             .drop("rules")
         )
         cand = cand.join(hint(self.tokens_df), "host", "left").withColumn(

@@ -155,3 +155,91 @@ def test_politeness_config_survives_tiny_crawl_delay(tmp_path):
     p.write_text(json.dumps(cfg))
     pol = PolitenessConfig.load(str(p))
     assert pol.tokens("h.example") == 2**31 - 1
+
+
+# --------------------------- property tests (hypothesis) ---------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_group_line = st.one_of(
+    st.builds(
+        "User-agent: {}".format,
+        st.sampled_from(["*", "bot", "scraper-spark", "spark", "mega"]),
+    ),
+    st.builds(
+        "Disallow: {}".format,
+        st.sampled_from(["", "/a", "/ab", "/b/c", "/*x", "/y$", "/"]),
+    ),
+    st.builds("Allow: {}".format, st.sampled_from(["/a", "/abc", "/", "/b"])),
+    st.builds(
+        "Crawl-delay: {}".format,
+        st.sampled_from(["1", "2.5", "nan", "-1", "abc", "1e-320"]),
+    ),
+)
+_noise_line = st.sampled_from(
+    [
+        "Sitemap: https://x.example/s.xml",
+        "Host: x.example",
+        "# just a comment",
+        "",
+        "Unknown-field: v",
+        "no-colon-line",
+    ]
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(_group_line, max_size=20),
+    st.lists(st.tuples(st.integers(0, 30), _noise_line), max_size=8),
+    st.sampled_from(["*", "scraper-spark", "bot"]),
+)
+def test_noise_lines_never_change_parse(lines, noises, ua):
+    """RFC 9309 §2.2.4 as a metamorphic property: inserting non-group
+    records (Sitemap:, unknown fields, comments, blanks, colon-less
+    junk) at ANY positions never changes the parse — rules,
+    crawl-delay, wildcard count, or which UA token won. The pre-fix
+    parser violated this (noise split User-agent runs into separate
+    groups, silently dropping rules)."""
+    base = parse_robots("\n".join(lines), ua)
+    noisy = list(lines)
+    for pos, n in noises:
+        noisy.insert(min(pos, len(noisy)), n)
+    got = parse_robots("\n".join(noisy), ua)
+    assert (base.rules, base.crawl_delay, base.skipped_wildcards,
+            base.matched_token) == (
+        got.rules, got.crawl_delay, got.skipped_wildcards,
+        got.matched_token,
+    )
+
+
+_rules_st = st.lists(
+    st.tuples(
+        st.sampled_from(["/", "/a", "/ab", "/abc", "/a/b", "/b", "/b/c"]),
+        st.booleans(),
+    ),
+    max_size=8,
+)
+_pq_st = st.sampled_from(
+    ["/", "/a", "/ab", "/abc", "/abcd", "/a/b", "/a/bx", "/b", "/b/c", "/zz"]
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_rules_st, _pq_st, st.randoms(use_true_random=False))
+def test_robots_blocked_rule_order_invariant(rules, pq, rnd):
+    """REP longest-match + allow-wins-tie is a pure function of the
+    rule SET: permuting the rule list never changes the decision
+    (duplicate paths with conflicting allow included)."""
+    shuffled = list(rules)
+    rnd.shuffle(shuffled)
+    assert robots_blocked(pq, rules) == robots_blocked(pq, shuffled)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_rules_st, _pq_st, st.booleans())
+def test_robots_blocked_nonmatching_rule_irrelevant(rules, pq, allow):
+    """Adding a rule whose path is NOT a prefix of the query path
+    never changes the decision, whatever its allow bit."""
+    extra = ("/zzz-never-a-prefix", allow)
+    assert robots_blocked(pq, rules) == robots_blocked(pq, rules + [extra])

@@ -203,3 +203,52 @@ def test_dim_tables_skip_rewrite_and_expire(spark, fixture_dir, tmp_path):
         e3.tokens_df.toPandas().sort_values("host").reset_index(drop=True)
         .equals(before)
     )
+
+
+def test_rep_column_python_parity(spark):
+    """robots_allowed_col (the schedule's column-side REP evaluator)
+    vs spec.robots_blocked (the oracle's python evaluator) over 400
+    randomized (rules, path) cases in ONE Spark job — the docstring
+    lockstep claim, pinned. Covers empty rule arrays, null rules
+    (host absent from the dim), duplicate paths with conflicting
+    allow, and length ties."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from scraper_spark.plans.frontier import robots_allowed_col
+    from scraper_spark.plans.spec import robots_blocked
+
+    rng = random.Random(20260821)
+    segs = ["/", "/a", "/ab", "/abc", "/a/b", "/b", "/b/c", "/c?x=1",
+            "/d/e", "/abd"]
+    suffixes = ["", "x", "/y", "?q=1", "d", "c"]
+    cases = []
+    for i in range(400):
+        nrules = rng.randint(0, 6)
+        if nrules == 0 and rng.random() < 0.5:
+            rules = None  # host not in the robots dim at all
+        else:
+            rules = [(rng.choice(segs), rng.random() < 0.5)
+                     for _ in range(nrules)]
+        pq = rng.choice(segs) + rng.choice(suffixes)
+        cases.append((i, pq, rules))
+    df = spark.createDataFrame(
+        [
+            (i, pq,
+             None if rules is None
+             else [{"p": p, "allow": a} for p, a in rules])
+            for i, pq, rules in cases
+        ],
+        "id int, pq string, rules array<struct<p:string,allow:boolean>>",
+    )
+    got = {
+        r["id"]: r["ok"]
+        for r in df.select(
+            "id",
+            robots_allowed_col(F.col("pq"), F.col("rules")).alias("ok"),
+        ).collect()
+    }
+    for i, pq, rules in cases:
+        want = True if rules is None else not robots_blocked(pq, rules)
+        assert got[i] == want, (i, pq, rules)
