@@ -252,3 +252,83 @@ def test_rep_column_python_parity(spark):
     for i, pq, rules in cases:
         want = True if rules is None else not robots_blocked(pq, rules)
         assert got[i] == want, (i, pq, rules)
+
+
+def test_schedule_kernel_randomized_parity(spark, tmp_path_factory):
+    """The distributed ``_schedule`` vs the shared python kernel
+    ``spec.schedule_round`` (THE schedule semantics, used verbatim by
+    the oracle and the tiny-frontier fast path) over three randomized
+    (politeness config, frontier) instances: random per-host budgets,
+    real robots.txt bodies with crawl-delays, legacy disallow
+    prefixes, hosts absent from every dim (default budget), duplicate
+    (depth, discovery_time) keys forcing the canon_url tie-break.
+    Both engine paths are exercised — the plain small-frontier window
+    (frontier_rows given) and the salted two-phase big path
+    (frontier_rows=None). Scheduled-set equality is the contract
+    (order is applied downstream by the global seq)."""
+    import json as _json
+    import random
+    from collections import namedtuple
+
+    from scraper_spark.plans.spec import PolitenessConfig, schedule_round
+    from scraper_spark.sources.fixtures import generate
+
+    E = namedtuple("E", "canon_url host depth discovery_time")
+    paths = ["/", "/a", "/ab", "/abc", "/a/b", "/b", "/b/c", "/d/e",
+             "/priv", "/priv/open", "/x?q=1"]
+    robots_bodies = [
+        "User-agent: *\nDisallow: /priv\nAllow: /priv/open\nCrawl-delay: 2\n",
+        "User-agent: *\nDisallow: /a\nDisallow: /b/c\n",
+        "User-agent: other\nDisallow: /\n",   # group doesn't apply to us
+        "User-agent: *\nDisallow: /\nAllow: /ab\n",
+    ]
+    for trial in range(3):
+        rng = random.Random(9000 + trial)
+        hosts = [f"h{i}.example" for i in range(8)]
+        raw = {
+            "default_tokens": rng.randint(1, 4),
+            "round_seconds": 10,
+            "hosts": {h: rng.randint(1, 5) for h in hosts[:3]},
+            "robots_disallow": {hosts[3]: [rng.choice(paths)]},
+            "robots_txt": {
+                h: rng.choice(robots_bodies) for h in hosts[2:6]
+            },
+        }
+        fx = str(tmp_path_factory.mktemp(f"kernel_fx_{trial}"))
+        generate(fx, n_hosts=2, n_urls=8)
+        with open(f"{fx}/politeness.json", "w") as f:
+            _json.dump(raw, f)
+        work = str(tmp_path_factory.mktemp(f"kernel_work_{trial}"))
+        eng = CrawlEngine(spark, fx, work)
+        pol = PolitenessConfig(raw)
+
+        entries = []
+        for i in range(300):
+            host = rng.choice(hosts + ["unknown.example"])
+            p = rng.choice(paths)
+            url = f"http://{host}{p}" + (f"/{i}" if rng.random() < 0.6 else "")
+            entries.append(
+                E(url, host, rng.randint(0, 2), rng.randint(0, 2))
+            )
+        entries = list({e.canon_url: e for e in entries}.values())
+        want = {e.canon_url for e in schedule_round(entries, pol)}
+
+        fdf = spark.createDataFrame(
+            [
+                (e.canon_url, e.host, bucket(e.host, N_HOST_BUCKETS),
+                 e.depth, e.discovery_time, 0)
+                for e in entries
+            ],
+            "canon_url string, host string, host_bucket int, depth int, "
+            "discovery_time int, attempt int",
+        )
+        got_small = {
+            r["canon_url"]
+            for r in eng._schedule(fdf, len(entries)).select("canon_url").collect()
+        }
+        got_big = {
+            r["canon_url"]
+            for r in eng._schedule(fdf, None).select("canon_url").collect()
+        }
+        assert got_small == want, f"trial {trial}: small path diverged"
+        assert got_big == want, f"trial {trial}: salted big path diverged"
