@@ -177,3 +177,34 @@ def test_merge_rejects_mismatched_segment_sizes():
     frame = pd.DataFrame([row(small), row(big)])
     with pytest.raises(ValueError, match="size mismatch"):
         merge_segment_frames([frame])
+
+
+# --------------------------- property test (hypothesis) ----------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(st.text(min_size=1, max_size=30), min_size=1, max_size=120,
+             unique=True),
+    st.data(),
+)
+def test_no_false_negative_after_random_deletes(urls, data):
+    """The multiset no-false-negative guarantee the re-crawl TTL
+    leans on, as a property: insert a random URL set (some twice),
+    delete a random subset once — every URL inserted twice, and every
+    never-deleted URL, must still probe True. Mirrors the Bloom
+    property test at the same strength the deletable structure adds."""
+    dup = data.draw(st.lists(st.sampled_from(urls), max_size=20,
+                             unique=True), label="inserted_twice")
+    dels = data.draw(st.lists(st.sampled_from(urls), max_size=40,
+                              unique=True), label="deleted_once")
+    s = pd.Series(urls + dup)
+    segs = _build_local(s, n_buckets=64)  # small table → stash pressure
+    C.delete(pd.Series(dels), segs)
+    survivors = [u for u in urls if u in set(dup) or u not in set(dels)]
+    if survivors:
+        assert C.probe(pd.Series(survivors), segs).all(), (
+            "false negative after multiset delete"
+        )
